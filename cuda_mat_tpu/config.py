@@ -1,0 +1,48 @@
+"""Solver configuration and numerics toggles.
+
+The reference hardcodes its solve parameters in the CLI (maxit=2000, tol=1e-6,
+reference example.cpp:179-180) and threads them positionally through the C API
+(reference pbicgstab.h:96-110).  Here they live in one dataclass that every
+entry point accepts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+def use_x64(enable: bool = True) -> None:
+    """Enable float64 in JAX (needed to reproduce the reference's double-precision
+    convergence trajectories; reference computes everything in ``double``)."""
+    import jax
+
+    jax.config.update("jax_enable_x64", enable)
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Parameters of a BiCGSTAB/BiCG solve.
+
+    Defaults follow the reference CLI: maxit=2000, tol=1e-6
+    (reference example.cpp:179-180).  ``breakdown_tol`` is the |omega| guard of
+    the unpreconditioned reference paths (reference pbicgstab.cu:559).
+    """
+
+    maxit: int = 2000
+    tol: float = 1e-6
+    breakdown_tol: float = 1e-5
+    debug: bool = False
+    # dtype for device computation; float64 requires use_x64() and is slow on
+    # TPU (software emulated) — float32 is the TPU-native default for large runs.
+    dtype: str = "float64"
+    # preconditioner: "none" | "jacobi" | "ilu0"
+    precond: str = "none"
+    # block size for the blocked triangular solve (ILU(0) path)
+    trisolve_block: int = 256
+
+    def replace(self, **kw) -> "SolverConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = SolverConfig()

@@ -1,0 +1,151 @@
+"""Blocked sparse triangular solves — the TPU-native ``csrsv_solve``.
+
+The reference applies its ILU(0) preconditioner with cuSPARSE's level-scheduled
+triangular solves (analysis at reference pbicgstab.cu:338-345, solves at
+:92-98,:121-127).  Level scheduling is useless on the reference's own banded
+fixtures: for a band {-1, -w} lower factor, level(i) = i — fully sequential.
+
+The TPU-first design instead *blocks the recurrence*: partition rows into
+``nb`` blocks of size B.  Within a block, the dependency is a dense B×B unit
+triangular system whose inverse ``W_b`` is precomputed once at setup; across
+blocks, each row depends on earlier rows only through its off-block entries,
+stored as a per-block ELL gather.  The solve becomes a ``fori_loop`` of
+``nb`` steps, each one rectangular gather + one (B,K) contraction + one
+(B,B)·(B,) matmul on the MXU:
+
+    y_b = W_b @ (f_b − Σ_k vals[b,:,k] · y[cols[b,:,k]])
+
+This is exact (up to fp rounding in the precomputed inverse), turns the
+latency-bound recurrence into MXU work, and costs O(n·B) memory — pick B ≥
+the lower bandwidth to keep K small (mat10000: w=100 → K ≤ 2 with B=128).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _block_setup_tri(csr, mvals: np.ndarray, block: int, lower: bool):
+    """Host-side extraction of one triangle of the combined ILU factor.
+
+    For ``lower``: strict lower triangle with implied unit diagonal
+    (reference DIAG_TYPE_UNIT, pbicgstab.cu:93).  For upper: diagonal + strict
+    upper (DIAG_TYPE_NON_UNIT, :97).  Returns (W, vals, cols) where W is the
+    per-block inverse of the diagonal block and vals/cols the off-block ELL.
+    """
+    n = csr.n
+    nb = -(-n // block)
+    npad = nb * block
+    indptr, indices = csr.indptr, csr.indices
+
+    diag_blocks = np.tile(np.eye(block), (nb, 1, 1))
+    off_rows: list[list[tuple[int, float]]] = [[] for _ in range(npad)]
+    for i in range(n):
+        b, ii = divmod(i, block)
+        lo, hi = indptr[i], indptr[i + 1]
+        for k in range(lo, hi):
+            j = int(indices[k])
+            v = float(mvals[k])
+            if lower:
+                if j >= i:
+                    continue
+            else:
+                if j < i:
+                    continue
+                if j == i:
+                    diag_blocks[b, ii, ii] = v
+                    continue
+            if j // block == b:
+                diag_blocks[b, ii, j % block] = v
+            else:
+                off_rows[i].append((j, v))
+
+    kmax = max(1, max((len(r) for r in off_rows), default=1))
+    vals = np.zeros((nb, block, kmax), dtype=np.float64)
+    cols = np.zeros((nb, block, kmax), dtype=np.int32)
+    for i in range(n):
+        b, ii = divmod(i, block)
+        for k, (j, v) in enumerate(off_rows[i]):
+            vals[b, ii, k] = v
+            cols[b, ii, k] = j
+    w = np.linalg.inv(diag_blocks)
+    return w, vals, cols
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockTriangularSolver:
+    """Device pytree implementing ``x = U \\ (L \\ f)`` for a combined ILU(0)
+    factor, via the blocked recurrence described in the module docstring."""
+
+    w_lo: jax.Array    # [nb, B, B] inverse of unit-lower diagonal blocks
+    vals_lo: jax.Array # [nb, B, Klo]
+    cols_lo: jax.Array # int32[nb, B, Klo] (global row indices)
+    w_up: jax.Array    # [nb, B, B] inverse of upper diagonal blocks
+    vals_up: jax.Array # [nb, B, Kup]
+    cols_up: jax.Array # int32[nb, B, Kup]
+    n: int             # static: true dimension
+    block: int         # static
+
+    @classmethod
+    def from_factor(cls, csr, mvals: np.ndarray, block: int = 256,
+                    dtype=jnp.float64) -> "BlockTriangularSolver":
+        w_lo, vals_lo, cols_lo = _block_setup_tri(csr, mvals, block, lower=True)
+        w_up, vals_up, cols_up = _block_setup_tri(csr, mvals, block, lower=False)
+        return cls(
+            jnp.asarray(w_lo, dtype=dtype), jnp.asarray(vals_lo, dtype=dtype),
+            jnp.asarray(cols_lo), jnp.asarray(w_up, dtype=dtype),
+            jnp.asarray(vals_up, dtype=dtype), jnp.asarray(cols_up),
+            csr.n, block)
+
+    @property
+    def nb(self) -> int:
+        return self.w_lo.shape[0]
+
+    def _sweep(self, f: jax.Array, w, vals, cols, forward: bool) -> jax.Array:
+        nb, block = self.nb, self.block
+        npad = nb * block
+        fp = jnp.zeros(npad, f.dtype).at[: self.n].set(f)
+        dt = jnp.result_type(w, f)
+
+        def body(step, y):
+            b = step if forward else nb - 1 - step
+            cols_b = jax.lax.dynamic_index_in_dim(cols, b, keepdims=False)
+            vals_b = jax.lax.dynamic_index_in_dim(vals, b, keepdims=False)
+            w_b = jax.lax.dynamic_index_in_dim(w, b, keepdims=False)
+            f_b = jax.lax.dynamic_slice(fp, (b * block,), (block,))
+            gathered = jnp.take(y, cols_b)                     # (B, K)
+            rhs = f_b - jnp.sum(vals_b * gathered, axis=1)     # (B,)
+            y_b = jnp.dot(w_b, rhs, preferred_element_type=dt)
+            return jax.lax.dynamic_update_slice(y, y_b.astype(y.dtype),
+                                                (b * block,))
+
+        y = jnp.zeros(npad, dtype=dt)
+        y = jax.lax.fori_loop(0, nb, body, y)
+        return y[: self.n]
+
+    def solve_lower(self, f: jax.Array) -> jax.Array:
+        """L y = f with unit-diagonal lower factor (forward sweep)."""
+        return self._sweep(f, self.w_lo, self.vals_lo, self.cols_lo,
+                           forward=True)
+
+    def solve_upper(self, f: jax.Array) -> jax.Array:
+        """U x = f with non-unit upper factor (backward sweep)."""
+        return self._sweep(f, self.w_up, self.vals_up, self.cols_up,
+                           forward=False)
+
+    def msolve(self, f: jax.Array) -> jax.Array:
+        """Apply the preconditioner: ``M⁻¹ f = U \\ (L \\ f)`` — the two
+        csrsv_solve calls of the reference loop (pbicgstab.cu:92-98)."""
+        return self.solve_upper(self.solve_lower(f))
+
+
+jax.tree_util.register_dataclass(
+    BlockTriangularSolver,
+    data_fields=["w_lo", "vals_lo", "cols_lo", "w_up", "vals_up", "cols_up"],
+    meta_fields=["n", "block"],
+)

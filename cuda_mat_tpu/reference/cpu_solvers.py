@@ -1,0 +1,288 @@
+"""Numpy ports of the reference solver loops, preserving update order.
+
+Three loops, matching the reference's three entry points plus its CPU
+comparison binary:
+
+- :func:`bicg_cpu`            — plain BiCG, reference bicstab_omp/bicstab.cpp:93-196
+- :func:`bicgstab_hform_cpu`  — h-form BiCGSTAB, reference pbicgstab.cu:425-578
+  (with the *intended* residual init ``r = b - A x0; r0 = r`` — the committed
+  code has that block commented out (reference pbicgstab.cu:471-478) leaving
+  r0 = 0, which NaNs on iteration 0; the split-form variant at :645-652 shows
+  the intended math and we implement that)
+- :func:`bicgstab_split_cpu`  — same loop on ``A = A0 + diag(d)``,
+  reference pbicgstab.cu:581-754
+- :func:`bicgstab_ilu_cpu`    — ILU(0)-preconditioned loop,
+  reference pbicgstab.cu:45-154
+
+plus ILU(0) factorization (reference cusparseDcsrilu0 call at
+pbicgstab.cu:359) and the unit-lower / non-unit-upper triangular solves
+(reference pbicgstab.cu:92-98).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class CPUSolveResult:
+    x: np.ndarray
+    converged: bool
+    breakdown: bool
+    iters: int
+    residual: float
+    residual_history: List[float]
+
+
+# ---------------------------------------------------------------------------
+# BiCG (the OMP comparison solver)
+# ---------------------------------------------------------------------------
+
+def bicg_cpu(a, b: np.ndarray, maxit: int = 2000,
+             eps: float = 1e-6) -> CPUSolveResult:
+    """Plain BiCG with the bicstab_omp update order (reference
+    bicstab_omp/bicstab.cpp:93-196): x0 = ones, R=biR=P=biP=b-Ax0, and the
+    quirk that the convergence check fires *before* the x update of that
+    iteration, so the final ``x += alfa*P`` is skipped on the converged pass
+    (reference bicstab.cpp:164-168)."""
+    at = a.transpose()
+    n = a.n
+    norm = np.sqrt(np.dot(b, b))
+    x = np.ones(n, dtype=np.float64)
+    r = b - a.matvec(x)
+    bir = r.copy()
+    p = r.copy()
+    bip = r.copy()
+    hist: List[float] = []
+    it = 0
+    check = np.inf
+    for it in range(maxit):
+        ap = a.matvec(p)
+        atbip = at.matvec(bip)
+        numerator = np.dot(bir, r)
+        denominator = np.dot(bip, ap)
+        alfa = numerator / denominator
+        nr = r - alfa * ap
+        nbir = bir - alfa * atbip
+        beta = np.dot(nbir, nr) / numerator
+        np_ = nr + beta * p
+        nbip = nbir + beta * bip
+        check = np.sqrt(np.dot(r, r)) / norm
+        hist.append(float(check))
+        if check < eps:
+            break
+        x = x + alfa * p
+        r, p, bir, bip = nr, np_, nbir, nbip
+    return CPUSolveResult(x, bool(check < eps), False, it, float(check), hist)
+
+
+# ---------------------------------------------------------------------------
+# h-form BiCGSTAB (unpreconditioned)
+# ---------------------------------------------------------------------------
+
+def _bicgstab_hform_loop(matvec: Callable[[np.ndarray], np.ndarray],
+                         x0: np.ndarray, b: np.ndarray, maxit: int,
+                         tol: float, breakdown_tol: float = 1e-5
+                         ) -> CPUSolveResult:
+    """Shared h-form loop (reference pbicgstab.cu:488-573 / :662-749):
+    explicit intermediate h = x0 + alpha*p_, omega breakdown guard after the
+    convergence check, and end-of-iteration state ping-pong."""
+    n = x0.shape[0]
+    omega, alpha, rho = 1.0, 1.0, 1.0
+    v = np.zeros(n)
+    p = np.zeros(n)
+    x0 = x0.astype(np.float64).copy()
+    r = b - matvec(x0)           # intended init (see module docstring)
+    r0 = r.copy()
+    norm0 = np.sqrt(np.dot(r, r))
+    x = np.zeros(n)
+    hist: List[float] = []
+    for i in range(maxit):
+        rho_ = np.dot(r0, r)
+        beta = (rho_ / rho) * (alpha / omega)
+        p_ = r + beta * (p - omega * v)
+        v_ = matvec(p_)
+        alpha = rho_ / np.dot(r0, v_)
+        h = x0 + alpha * p_
+        s = r - alpha * v_
+        t = matvec(s)
+        omega = np.dot(t, s) / np.dot(t, t)
+        x = h + omega * s
+        r_ = s - omega * t
+        norm = np.sqrt(np.dot(r_, r_))
+        hist.append(float(norm))
+        if norm < tol * norm0:
+            return CPUSolveResult(x, True, False, i + 1, float(norm), hist)
+        if abs(omega) < breakdown_tol or np.isnan(omega):
+            return CPUSolveResult(x, False, True, i + 1, float(norm), hist)
+        r, p, v, x0, rho = r_, p_, v_, x, rho_
+    return CPUSolveResult(x, False, False, maxit, float(hist[-1]) if hist
+                          else float(norm0), hist)
+
+
+def bicgstab_hform_cpu(a, b: np.ndarray, maxit: int = 2000, tol: float = 1e-6,
+                       x0: Optional[np.ndarray] = None,
+                       breakdown_tol: float = 1e-5) -> CPUSolveResult:
+    """Unpreconditioned h-form BiCGSTAB on CSR; x0 defaults to all-ones as in
+    the reference wrapper (reference pbicgstab.cu:827-832)."""
+    if x0 is None:
+        x0 = np.ones(a.n)
+    return _bicgstab_hform_loop(a.matvec, x0, b, maxit, tol, breakdown_tol)
+
+
+def bicgstab_split_cpu(a0, d: np.ndarray, x0: np.ndarray, b: np.ndarray,
+                       maxit: int = 2000, tol: float = 1e-5,
+                       breakdown_tol: float = 1e-5) -> CPUSolveResult:
+    """h-form BiCGSTAB on the split form ``A = A0 + diag(d)``: every SpMV is
+    the fused pair ``y = d∘u + A0·u`` (reference mult_spec kernel + csrmv with
+    beta=1, pbicgstab.cu:645-646, :675-676, :703-704); x0 is caller-supplied
+    (reference pbicgstab.cu:997)."""
+    d = np.asarray(d, dtype=np.float64)
+    return _bicgstab_hform_loop(lambda u: d * u + a0.matvec(u),
+                                np.asarray(x0, dtype=np.float64), b,
+                                maxit, tol, breakdown_tol)
+
+
+# ---------------------------------------------------------------------------
+# ILU(0) factorization + triangular solves
+# ---------------------------------------------------------------------------
+
+def ilu0_factorize(a) -> np.ndarray:
+    """Incomplete LU with zero fill-in on the CSR pattern of ``a``.
+
+    Returns the combined factor values ``m`` (same pattern/indices as ``a``):
+    strictly-lower entries hold L (unit diagonal implied), diagonal + upper
+    hold U.  This is what ``cusparseDcsrilu0`` computes in place into Mval
+    (reference pbicgstab.cu:316,357-359, where Mval starts as a copy of Aval
+    sharing A's index arrays).  Requires a nonzero stored diagonal
+    (reference pbicgstab.h:118: "for i = j must hold: A[i,j] != 0").
+    """
+    n = a.n
+    m = a.data.astype(np.float64).copy()
+    indptr, indices = a.indptr, a.indices
+    # position of each row's diagonal entry
+    diag_pos = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        lo, hi = indptr[i], indptr[i + 1]
+        js = indices[lo:hi]
+        k = np.searchsorted(js, i)
+        if k >= js.shape[0] or js[k] != i:
+            raise ValueError(f"ILU(0) requires a stored nonzero diagonal (row {i})")
+        diag_pos[i] = lo + k
+    # row-wise IKJ elimination restricted to the sparsity pattern
+    for i in range(n):
+        lo, hi = indptr[i], indptr[i + 1]
+        for kk in range(lo, int(diag_pos[i])):
+            k = indices[kk]
+            m[kk] = m[kk] / m[diag_pos[k]]
+            lik = m[kk]
+            # subtract lik * U(k, j) for j > k present in row i
+            klo, khi = int(diag_pos[k]) + 1, indptr[k + 1]
+            if klo >= khi:
+                continue
+            row_i_js = indices[kk + 1:hi]
+            row_k_js = indices[klo:khi]
+            # match columns of row k's upper part against row i's tail
+            pos_in_i = np.searchsorted(row_i_js, row_k_js)
+            ok = (pos_in_i < row_i_js.shape[0])
+            ok[ok] &= row_i_js[pos_in_i[ok]] == row_k_js[ok]
+            m[kk + 1 + pos_in_i[ok]] -= lik * m[klo:khi][ok]
+    return m
+
+
+def solve_lower_unit(a, mvals: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Solve L y = b with L = unit-diagonal strict lower of the combined
+    factor (reference csrsv_solve with FILL_MODE_LOWER / DIAG_TYPE_UNIT,
+    pbicgstab.cu:92-94)."""
+    n = a.n
+    y = np.zeros(n, dtype=np.float64)
+    indptr, indices = a.indptr, a.indices
+    for i in range(n):
+        lo, hi = indptr[i], indptr[i + 1]
+        js = indices[lo:hi]
+        lowmask = js < i
+        y[i] = b[i] - np.dot(mvals[lo:hi][lowmask], y[js[lowmask]])
+    return y
+
+
+def solve_upper(a, mvals: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Solve U x = y with U = diagonal + strict upper of the combined factor
+    (reference csrsv_solve with FILL_MODE_UPPER / DIAG_TYPE_NON_UNIT,
+    pbicgstab.cu:96-98)."""
+    n = a.n
+    x = np.zeros(n, dtype=np.float64)
+    indptr, indices = a.indptr, a.indices
+    for i in range(n - 1, -1, -1):
+        lo, hi = indptr[i], indptr[i + 1]
+        js = indices[lo:hi]
+        upmask = js > i
+        dk = np.searchsorted(js, i)
+        x[i] = (y[i] - np.dot(mvals[lo:hi][upmask], x[js[upmask]])) \
+            / mvals[lo + dk]
+    return x
+
+
+# ---------------------------------------------------------------------------
+# ILU(0)-preconditioned BiCGSTAB
+# ---------------------------------------------------------------------------
+
+def bicgstab_ilu_cpu(a, b: np.ndarray, maxit: int = 2000, tol: float = 1e-6,
+                     mvals: Optional[np.ndarray] = None) -> CPUSolveResult:
+    """ILU(0)-preconditioned BiCGSTAB with the gpu_pbicgstab update order
+    (reference pbicgstab.cu:45-154): x0 = ones (set by the wrapper,
+    reference pbicgstab.cu:306-308), two convergence checks per iteration
+    (after the first half-step the loop counter is *not* incremented on exit,
+    reference pbicgstab.cu:116; after the second it is, :147-150).
+
+    Unlike the reference wrapper — which always reports success
+    (reference pbicgstab.cu:408) — the result carries real convergence status.
+    """
+    n = a.n
+    if mvals is None:
+        mvals = ilu0_factorize(a)
+
+    def msolve(u):
+        return solve_upper(a, mvals, solve_lower_unit(a, mvals, u))
+
+    x = np.ones(n, dtype=np.float64)
+    r = b - a.matvec(x)
+    rw = r.copy()
+    p = r.copy()
+    nrmr0 = np.sqrt(np.dot(r, r))
+    rho = 0.0
+    alpha = omega = 1.0
+    v = np.zeros(n)
+    hist: List[float] = []
+    i = 0
+    nrmr = nrmr0
+    while i < maxit:
+        rhop = rho
+        rho = np.dot(rw, r)
+        if i > 0:
+            beta = (rho / rhop) * (alpha / omega)
+            p = r + beta * (p - omega * v)
+        pw = msolve(p)
+        v = a.matvec(pw)
+        alpha = rho / np.dot(rw, v)
+        r = r - alpha * v
+        x = x + alpha * pw
+        nrmr = np.sqrt(np.dot(r, r))
+        hist.append(float(nrmr))
+        if nrmr < tol * nrmr0:
+            break
+        s = msolve(r)
+        t = a.matvec(s)
+        omega = np.dot(t, r) / np.dot(t, t)
+        x = x + omega * s
+        r = r - omega * t
+        nrmr = np.sqrt(np.dot(r, r))
+        hist.append(float(nrmr))
+        if nrmr < tol * nrmr0:
+            i += 1
+            break
+        i += 1
+    return CPUSolveResult(x, bool(nrmr < tol * nrmr0), False, i, float(nrmr),
+                          hist)

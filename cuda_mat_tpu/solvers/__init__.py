@@ -1,0 +1,20 @@
+"""JIT-compiled iterative solvers (BiCGSTAB family + BiCG)."""
+
+from cuda_mat_tpu.solvers.result import SolveResult, SolverStatus
+from cuda_mat_tpu.solvers.bicgstab import (
+    bicgstab,
+    bicgstab_split,
+    bicgstab_lu_precond,
+    solve,
+)
+from cuda_mat_tpu.solvers.bicg import bicg
+
+__all__ = [
+    "SolveResult",
+    "SolverStatus",
+    "bicgstab",
+    "bicgstab_split",
+    "bicgstab_lu_precond",
+    "bicg",
+    "solve",
+]

@@ -1,0 +1,68 @@
+"""Test configuration: run on a virtual 8-device CPU mesh with float64.
+
+Per SURVEY §4 item 4: distributed code paths are exercised without a cluster
+via ``--xla_force_host_platform_device_count``; float64 is required to match
+the reference's double-precision trajectories.
+"""
+
+import os
+
+# must happen before jax import
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags +
+                               " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# the axon TPU plugin can override the env var, so set the config too
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from cuda_mat_tpu.models.problems import fixture_path  # noqa: E402
+from cuda_mat_tpu.io.mmio import load_mm_sparse_matrix  # noqa: E402
+from cuda_mat_tpu.io.vectors import to_dense_vector  # noqa: E402
+from cuda_mat_tpu.io.mmio import read_mm  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def mat3():
+    return load_mm_sparse_matrix(fixture_path("mat3"))
+
+
+@pytest.fixture(scope="session")
+def vec3():
+    _, coo = read_mm(fixture_path("vec3"))
+    return to_dense_vector(coo.to_csr())
+
+
+@pytest.fixture(scope="session")
+def mat3_a0():
+    return load_mm_sparse_matrix(fixture_path("mat3_A0"))
+
+
+@pytest.fixture(scope="session")
+def vec3_d():
+    _, coo = read_mm(fixture_path("vec3_d"))
+    return to_dense_vector(coo.to_csr())
+
+
+@pytest.fixture(scope="session")
+def mat900():
+    return load_mm_sparse_matrix(fixture_path("mat900"))
+
+
+@pytest.fixture(scope="session")
+def mat10000():
+    return load_mm_sparse_matrix(fixture_path("mat10000"))
+
+
+@pytest.fixture()
+def rng():
+    # function-scoped: every test gets the same deterministic stream,
+    # independent of execution order
+    return np.random.default_rng(42)
