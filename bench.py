@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Headline benchmark: single-chip SpMV throughput vs measured HBM roofline.
+
+Prints ONE JSON line to stdout:
+    {"metric": "spmv_gbps_per_chip", "value": <GB/s>, "unit": "GB/s",
+     "vs_baseline": <fraction of measured roofline>}
+
+The reference publishes no numbers (BASELINE.md); its protocol is solver-only
+timing on the banded workloads.  The BASELINE.json target is >= 0.70 of
+roofline SpMV throughput per chip, so ``vs_baseline`` is the achieved
+fraction of the *measured* HBM copy bandwidth on this chip (>= 0.70 = target
+met; > 1 impossible by construction).  Details (roofline, nnz/s, mat10000
+solve stats) go to stderr.
+
+Byte model for DIA SpMV: each diagonal's values are read once, x is read once
+per diagonal slice, y written once -> (ndiag*n + ndiag*n + n) * itemsize is
+the pessimistic count; we use the standard operand-once model
+(ndiag*n + 2n) * itemsize, which matches what a perfectly cached kernel must
+move through HBM.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _chain_time(step_fn, x0, k=200, reps=5):
+    """Median per-step time of a k-step *dependency chain* of ``step_fn``
+    inside one jit, completion forced by fetching a scalar.
+
+    Rationale: the axon TPU tunnel has ~30 ms host<->device round-trip
+    latency and ``block_until_ready`` on a remote array does not wait for
+    kernel completion, so single-dispatch timings are garbage in both
+    directions.  A y_{i+1} = f(y_i) chain cannot be hoisted by XLA, amortizes
+    the sync to 1/k, and the final reduction forces real completion.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(x):
+        y = jax.lax.fori_loop(0, k, lambda i, y: step_fn(y), x)
+        return jnp.sum(y[:8])
+
+    float(run(x0))  # compile + warm
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(run(x0))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)) / k
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cuda_mat_tpu.models.problems import banded_laplacian_dia
+    from cuda_mat_tpu.ops.operators import DIAOperator
+
+    backend = jax.default_backend()
+    dev = jax.devices()[0]
+    info = {"backend": backend, "device": str(dev)}
+
+    # ---- measured HBM roofline: big copy (read + write) -------------------
+    copy_elems = 64 * 1024 * 1024  # 256 MB f32
+    src = jnp.ones((copy_elems,), jnp.float32)
+    t_copy = _chain_time(lambda y: y * 1.0000001 + 1.0, src, k=200)
+    roofline_gbps = 2 * copy_elems * 4 / t_copy / 1e9
+    info["roofline_gbps"] = round(roofline_gbps, 1)
+
+    # ---- DIA SpMV on a large banded Laplacian -----------------------------
+    side = 3163 if backend == "tpu" else 500   # 10.0M rows on TPU
+    dia = banded_laplacian_dia(side, dtype=np.float32)
+    n = dia.n
+    op = DIAOperator(jnp.asarray(dia.data), tuple(int(o) for o in dia.offsets),
+                     n)
+    x = jnp.ones((n,), jnp.float32)
+    # *0.1 keeps the chained iterates bounded (spectral radius < 1); the
+    # scale fuses into the spmv epilogue for free
+    t_spmv = _chain_time(lambda y: op.matvec(y) * 0.1, x, k=200)
+    bytes_moved = (dia.ndiag * n + 2 * n) * 4
+    spmv_gbps = bytes_moved / t_spmv / 1e9
+    nnz_per_s = dia.nnz / t_spmv
+    info.update(n=n, nnz=dia.nnz, t_spmv_us=round(t_spmv * 1e6, 1),
+                spmv_gbps=round(spmv_gbps, 1),
+                nnz_per_s=f"{nnz_per_s:.3e}")
+
+    # ---- mat10000 solve stats (reference headline workload) ---------------
+    try:
+        from cuda_mat_tpu.config import SolverConfig
+        from cuda_mat_tpu.io.mmio import load_mm_sparse_matrix
+        from cuda_mat_tpu.solvers.bicgstab import bicgstab_lu_precond
+
+        a = load_mm_sparse_matrix("data/mat10000.mtx")
+        b = np.ones(a.n)
+        dt = "float32" if backend == "tpu" else "float64"
+        tol = 1e-4 if dt == "float32" else 1e-6
+        cfg = SolverConfig(maxit=2000, tol=tol, dtype=dt, trisolve_block=128)
+        bicgstab_lu_precond(a, b, cfg)          # compile
+        res = bicgstab_lu_precond(a, b, cfg)    # warm
+        info.update(mat10000_iters=res.iters,
+                    mat10000_dt_alg_ms=round(res.dt_alg * 1e3, 2),
+                    mat10000_status=res.status.name)
+    except Exception as e:  # bench must always emit its JSON line
+        info["mat10000_error"] = repr(e)[:200]
+
+    print(json.dumps(info), file=sys.stderr)
+    print(json.dumps({
+        "metric": "spmv_gbps_per_chip",
+        "value": round(spmv_gbps, 2),
+        "unit": "GB/s",
+        "vs_baseline": round(spmv_gbps / roofline_gbps, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

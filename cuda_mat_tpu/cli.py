@@ -1,0 +1,162 @@
+"""Command-line driver — the equivalent of the reference ``example`` binary.
+
+Mirrors the reference CLI contract (reference example.cpp:168-378):
+
+- ``-M/--matrix``     Matrix Market file for A (else a random system)
+- ``-V/--vector``     Matrix Market file for b (else random, P(zero)=0.2)
+- ``-D/--debug``      per-iteration residual prints
+- ``-R/--zero-prob``  P(zero) for the random matrix (default 0.99)
+- ``-N/--dim``        dimension of the random system (default 10000)
+- ``-P/--print``      print the solution vector
+- maxit=2000, tol=1e-6 defaults (reference example.cpp:179-180); the default
+  solve is ILU(0)-preconditioned BiCGSTAB (reference always calls
+  ``bicgstab_lu_precond``, example.cpp:352)
+
+Extensions beyond the reference: ``--solver`` (bicgstab|bicg), ``--precond``
+(none|jacobi|ilu0), ``--dtype``, ``--tol``, ``--maxit``, ``--format``,
+``--devices N`` (distributed row-partitioned solve over a mesh).
+
+Usage::
+
+    python -m cuda_mat_tpu.cli -M data/mat10000.mtx -D
+    python -m cuda_mat_tpu.cli -N 4000 -R 0.999 --precond jacobi
+    python -m cuda_mat_tpu.cli -M data/mat10000.mtx --devices 4 --precond none
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="cuda_mat_tpu",
+        description="TPU-native sparse BiCGSTAB Ax=b solver "
+                    "(Matrix Market ingestion, Pallas SpMV, ILU(0)/Jacobi)")
+    p.add_argument("-M", "--matrix", help=".mtx file for A")
+    p.add_argument("-V", "--vector", help=".mtx file for b")
+    p.add_argument("-D", "--debug", action="store_true",
+                   help="print per-iteration residual norms")
+    p.add_argument("-R", "--zero-prob", type=float, default=0.99,
+                   help="P(zero) for random off-diagonal entries")
+    p.add_argument("-N", "--dim", type=int, default=10000,
+                   help="dimension of the generated random system")
+    p.add_argument("-P", "--print", dest="print_x", action="store_true",
+                   help="print the solution vector")
+    p.add_argument("--solver", choices=["bicgstab", "bicg"],
+                   default="bicgstab")
+    p.add_argument("--precond", choices=["none", "jacobi", "ilu0"],
+                   default="ilu0")
+    p.add_argument("--maxit", type=int, default=2000)
+    p.add_argument("--tol", type=float, default=1e-6)
+    p.add_argument("--dtype", choices=["float32", "float64"], default=None,
+                   help="default: float64 when x64 is enabled, else float32")
+    p.add_argument("--format", choices=["csr", "ell", "dia", "dense"],
+                   default=None, help="force an operator format")
+    p.add_argument("--trisolve-block", type=int, default=256)
+    p.add_argument("--devices", type=int, default=None,
+                   help="row-partition across N devices (precond none/jacobi)")
+    p.add_argument("--x64", action="store_true", help="enable float64")
+    p.add_argument("--platform", choices=["cpu", "tpu"], default=None,
+                   help="force the JAX backend (the axon TPU plugin ignores "
+                        "JAX_PLATFORMS, so use this flag)")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.x64:
+        from cuda_mat_tpu.config import use_x64
+
+        use_x64(True)
+
+    from cuda_mat_tpu import (SolverConfig, bicg, load_mm_sparse_matrix,
+                              read_mm, solve, to_dense_vector)
+    from cuda_mat_tpu.models.problems import (gen_rand_vector,
+                                              random_diag_nonzero_system)
+    from cuda_mat_tpu.utils.timing import PhaseTimer
+
+    if args.dtype is None:
+        args.dtype = "float64" if jax.config.jax_enable_x64 else "float32"
+
+    timer = PhaseTimer()
+    t_total0 = time.perf_counter()
+
+    with timer.phase("load"):
+        if args.matrix:
+            print(f"Using matrix input file [{args.matrix}]")
+            a = load_mm_sparse_matrix(args.matrix)
+            if a.n != a.m:
+                print("!!!! square matrix is expected", file=sys.stderr)
+                return 1
+        else:
+            a, _ = random_diag_nonzero_system(args.dim, args.zero_prob,
+                                              seed=args.seed)
+        if args.vector:
+            print(f"Using vector input file [{args.vector}]")
+            _, coo = read_mm(args.vector)
+            vec = coo.to_csr()
+            if vec.m != 1:
+                print("b must be a vector !", file=sys.stderr)
+                return 1
+            if vec.n != a.n:
+                print("incorrect dim", file=sys.stderr)
+                return 1
+            b = to_dense_vector(vec)
+        else:
+            b = gen_rand_vector(a.n, 0.2, 1.0, 5.0, seed=args.seed + 1)
+
+    print(f"n={a.n}, nnz={a.nnz}, solver={args.solver}, "
+          f"precond={args.precond}, dtype={args.dtype}, "
+          f"backend={jax.default_backend()}")
+
+    cfg = SolverConfig(maxit=args.maxit, tol=args.tol, debug=args.debug,
+                       dtype=args.dtype, precond=args.precond,
+                       trisolve_block=args.trisolve_block)
+
+    with timer.phase("solve"):
+        if args.devices:
+            from cuda_mat_tpu.parallel.mesh import make_mesh
+            from cuda_mat_tpu.parallel.dist_solver import dist_bicgstab
+
+            if args.precond == "ilu0":
+                print("distributed solve supports --precond none/jacobi; "
+                      "use --precond jacobi", file=sys.stderr)
+                return 1
+            res = dist_bicgstab(a, b, make_mesh(args.devices), cfg)
+        elif args.solver == "bicg":
+            res = bicg(a, b, cfg)
+        else:
+            res = solve(a, b, cfg)
+    t_total = time.perf_counter() - t_total0
+
+    if res.converged:
+        print("success")
+        if args.print_x:
+            print("result:")
+            from cuda_mat_tpu.io.vectors import dump_vector
+
+            print(dump_vector(res.x))
+        print(f"iterations = {res.iters}, relative residual = "
+              f"{res.residual / res.residual0:.3e}")
+        print(f"algorithm delta time = {res.dt_alg:.6f} s")
+        print(f"setup time (operator+precond) = {res.dt_setup:.6f} s")
+        print(f"total delta time = {t_total:.6f} s")
+        return 0
+    print(f"method failed: {res.status.name} after {res.iters} iterations "
+          f"(residual {res.residual:.3e})", file=sys.stderr)
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -104,6 +104,30 @@ def banded_laplacian(side: int) -> CSRMatrix:
         n, n, np.concatenate(rows), np.concatenate(cols), np.concatenate(data)))
 
 
+def banded_laplacian_dia(side: int, dtype=np.float32):
+    """Direct DIA construction of :func:`banded_laplacian` — no intermediate
+    COO/CSR, so 10M-row bench systems build in O(n) memory.
+
+    Returns a :class:`~cuda_mat_tpu.formats.dia.DIAMatrix` identical to
+    ``banded_laplacian(side).to_dia()``.
+    """
+    from cuda_mat_tpu.formats.dia import DIAMatrix
+
+    n = side * side
+    offsets = np.array([-side, -1, 0, 1, side], dtype=np.int32)
+    data = np.zeros((5, n), dtype=dtype)
+    data[2] = 4.0
+    # row-aligned: data[d, i] = A[i, i + off]
+    data[1, 1:] = -1.0          # off -1: rows 1..n-1 ...
+    data[1, ::side] = 0.0       # ... except first row of each grid row
+    data[3, : n - 1] = -1.0     # off +1
+    data[3, side - 1::side] = 0.0
+    data[0, side:] = -1.0       # off -side
+    data[4, : n - side] = -1.0  # off +side
+    nnz = int(np.count_nonzero(data))
+    return DIAMatrix(n, n, offsets, data, nnz)
+
+
 def laplacian_2d(side: int) -> CSRMatrix:
     """9-point 2-D Laplacian on a ``side × side`` grid (diag 8, all 8
     neighbors −1).  ``laplacian_2d(30)`` reproduces the symmetrized mat900

@@ -1,0 +1,152 @@
+"""Pallas TPU kernel for banded (DIA) SpMV — the hand-written replacement for
+the reference's ``cusparseDcsrmv`` on its banded workloads (reference
+pbicgstab.cu:104 etc.).
+
+Design (TPU-first):
+
+- Row-aligned DIA data (see :mod:`cuda_mat_tpu.formats.dia`): diagonal ``d``
+  contributes ``data[d, i] * x[i + off_d]`` — no gather, pure VPU multiply-add
+  at HBM bandwidth.
+- **Block-halo layout**: vectors live in *padded* form with one zero block of
+  ``B`` rows on each side (``B >= bandwidth``).  The x window needed by out
+  block ``i`` is then exactly the three consecutive x blocks ``i-1, i, i+1``,
+  which are passed as three ``BlockSpec`` views of the same array with
+  shifted index maps — so the Mosaic pipeline streams and double-buffers
+  every operand automatically; no manual DMA, no semaphores.
+- Edge grid steps write the zero padding, so the kernel maps padded→padded
+  vectors and *chains*: the whole BiCGSTAB loop runs on padded vectors with
+  zero repacking (padding is a fixed point of all BLAS1 ops and of this
+  kernel, and contributes nothing to dot products).
+
+The plain-XLA formulation of the same contraction reaches ~12-15% of the
+chip's copy roofline (misaligned 1-D shifts relayout across vector lanes);
+this kernel exists to close that gap.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _dia_block_kernel(xm1, x0, xp1, data_ref, y_ref, *,
+                      offsets: Tuple[int, ...], block: int):
+    i = pl.program_id(0)
+    g = pl.num_programs(0)
+
+    @pl.when((i > 0) & (i < g - 1))
+    def _interior():
+        xs = jnp.concatenate([xm1[:], x0[:], xp1[:]])
+        acc = data_ref[0, :] * jax.lax.slice(xs, (block + offsets[0],),
+                                             (2 * block + offsets[0],))
+        for d, off in enumerate(offsets[1:], start=1):
+            acc = acc + data_ref[d, :] * jax.lax.slice(
+                xs, (block + off,), (2 * block + off,))
+        y_ref[:] = acc
+
+    @pl.when((i == 0) | (i == g - 1))
+    def _edge():
+        y_ref[:] = jnp.zeros_like(y_ref)
+
+
+@partial(jax.jit, static_argnames=("offsets", "block", "interpret"))
+def dia_spmv_block_padded(data: jax.Array, x_pad: jax.Array,
+                          offsets: Tuple[int, ...], block: int,
+                          interpret: bool = False) -> jax.Array:
+    """``y_pad = A x_pad`` on block-halo padded vectors.
+
+    ``data [ndiag, npad]`` row-aligned; ``x_pad [npad + 2*block]`` with zero
+    pad blocks; returns same padded layout with zero pads intact.
+    """
+    ndiag, npad = data.shape
+    assert npad % block == 0
+    assert max(abs(offsets[0]), abs(offsets[-1])) <= block
+    assert x_pad.shape[0] == npad + 2 * block
+    g = npad // block + 2          # includes the two pad blocks
+    nd_blocks = npad // block
+
+    def clipd(i):
+        return jnp.clip(i - 1, 0, nd_blocks - 1)
+
+    kernel = partial(_dia_block_kernel, offsets=offsets, block=block)
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((block,), lambda i: (jnp.clip(i - 1, 0, g - 1),),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block,), lambda i: (jnp.clip(i, 0, g - 1),),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block,), lambda i: (jnp.clip(i + 1, 0, g - 1),),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ndiag, block), lambda i: (0, clipd(i)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block,), lambda i: (i,),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((npad + 2 * block,), data.dtype),
+        interpret=interpret,
+    )(x_pad, x_pad, x_pad, data)
+
+
+@dataclasses.dataclass(frozen=True)
+class PallasDIAOperator:
+    """Device operator backed by the block-halo Pallas kernel.
+
+    ``matvec`` maps *padded* vectors to padded vectors; use :meth:`pad_vec` /
+    :meth:`unpad_vec` at the boundary.  Solver loops run entirely in the
+    padded space (padding is invariant under the whole iteration).
+    """
+
+    data: jax.Array            # [ndiag, npad]
+    offsets: Tuple[int, ...]   # static
+    n: int                     # static true dimension
+    block: int                 # static
+    interpret: bool = False    # static (CPU testing)
+
+    @property
+    def m(self) -> int:
+        return self.n
+
+    @property
+    def npad(self) -> int:
+        return self.data.shape[1]
+
+    @classmethod
+    def from_dia(cls, dia, dtype=jnp.float32, block: int = 16384,
+                 interpret: bool = False) -> "PallasDIAOperator":
+        offsets = tuple(int(o) for o in dia.offsets)
+        w = max(abs(offsets[0]), abs(offsets[-1])) if offsets else 1
+        block = max(block, _round_up(w, 1024))
+        npad = _round_up(dia.n, block)
+        data = np.zeros((len(offsets), npad), dtype=np.dtype(dtype))
+        data[:, : dia.n] = dia.data
+        return cls(jnp.asarray(data), offsets, dia.n, block, interpret)
+
+    def pad_vec(self, v) -> jax.Array:
+        out = jnp.zeros(self.npad + 2 * self.block, self.data.dtype)
+        return out.at[self.block: self.block + v.shape[0]].set(
+            jnp.asarray(v, self.data.dtype))
+
+    def unpad_vec(self, v_pad: jax.Array) -> jax.Array:
+        return v_pad[self.block: self.block + self.n]
+
+    def matvec(self, x_pad: jax.Array) -> jax.Array:
+        return dia_spmv_block_padded(self.data, x_pad, self.offsets,
+                                     self.block, self.interpret)
+
+
+jax.tree_util.register_dataclass(
+    PallasDIAOperator, data_fields=["data"],
+    meta_fields=["offsets", "n", "block", "interpret"])

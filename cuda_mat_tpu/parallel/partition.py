@@ -1,0 +1,71 @@
+"""Row partitioning of banded (DIA) matrices with halo metadata.
+
+Each of the ``ndev`` shards owns a contiguous block of ``s = npad/ndev`` rows
+of the matrix, its slice of x/b, and needs a *halo* of the ``w`` neighboring
+x entries on each side (``w`` = bandwidth).  The banded fixtures make halos
+narrow (mat10000: w=100; the 1M-row config: w=1000 ≪ s), so the exchange is a
+neighbor ``ppermute`` of w-element edge segments — the cheapest possible
+communication pattern on an ICI ring (SURVEY §2 distributed components 1-2).
+
+Padding strategy: the matrix is padded to ``npad`` rows with *identity rows*
+(diag 1, off-diagonals 0) and b/x0 padded with zeros, so padded entries stay
+exactly zero through every solver iteration and perturb no dot product.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+
+from cuda_mat_tpu.formats.csr import CSRMatrix
+from cuda_mat_tpu.formats.dia import DIAMatrix
+
+
+@dataclasses.dataclass
+class RowPartitionedBanded:
+    """Host-side partition plan + padded DIA data for ``ndev`` row shards."""
+
+    n: int                 # true dimension
+    npad: int              # padded dimension (ndev * shard_rows)
+    ndev: int
+    shard_rows: int        # rows per shard
+    halo: int              # bandwidth w
+    offsets: Tuple[int, ...]
+    data: np.ndarray       # [ndiag, npad] row-aligned, padded rows = identity
+
+    @classmethod
+    def from_matrix(cls, a, ndev: int) -> "RowPartitionedBanded":
+        dia = a.to_dia() if isinstance(a, CSRMatrix) else a
+        assert isinstance(dia, DIAMatrix)
+        n = dia.n
+        shard_rows = -(-n // ndev)
+        npad = shard_rows * ndev
+        w = dia.bandwidth
+        if w > shard_rows:
+            raise ValueError(
+                f"bandwidth {w} exceeds shard size {shard_rows}: neighbor-only"
+                f" halo exchange impossible with {ndev} shards")
+        offsets = tuple(int(o) for o in dia.offsets)
+        if 0 not in offsets:
+            offsets = tuple(sorted(offsets + (0,)))
+        data = np.zeros((len(offsets), npad), dtype=dia.data.dtype)
+        for k, off in enumerate(offsets):
+            if off in list(dia.offsets):
+                d = list(dia.offsets).index(off)
+                data[k, :n] = dia.data[d]
+            if off == 0:
+                data[k, n:] = 1.0  # identity padding rows
+        return cls(n, npad, ndev, shard_rows, w, offsets, data)
+
+    def pad_vector(self, v: np.ndarray) -> np.ndarray:
+        out = np.zeros(self.npad, dtype=v.dtype)
+        out[: self.n] = v
+        return out
+
+    def unpad_vector(self, v: np.ndarray) -> np.ndarray:
+        return np.asarray(v)[: self.n]
+
+    def local_nnz(self) -> int:
+        return int(np.count_nonzero(self.data))

@@ -59,17 +59,21 @@ class _HState(NamedTuple):
     hist: jax.Array
 
 
-@partial(jax.jit, static_argnames=("maxit", "debug"))
-def _hform_solve(op, x0, b, tol, btol, maxit, debug=False):
+def hform_core(matvec, dot, x0, b, tol, btol, maxit, debug=False):
     """h-form BiCGSTAB loop (reference gpu_pbicgstab2, pbicgstab.cu:488-573):
     scalar recurrences rho/alpha/omega, explicit intermediate h = x0 + αp̂,
     convergence check then |omega| breakdown guard, state ping-pong at the
-    end of each iteration (here: just the new carry)."""
+    end of each iteration (here: just the new carry).
+
+    Generic over ``matvec`` and ``dot`` so the same algorithm runs single-chip
+    (``dot = jnp.dot``) and inside ``shard_map`` (``dot`` = local partial +
+    ``psum``, ``matvec`` = halo-exchange SpMV) — the distributed path shares
+    this exact code (SURVEY §2 distributed component 3)."""
     dt = b.dtype
     one = jnp.asarray(1.0, dt)
-    r = b - op.matvec(x0)
+    r = b - matvec(x0)
     r0 = r
-    norm0 = jnp.sqrt(r @ r)
+    norm0 = jnp.sqrt(dot(r, r))
     if debug:
         jax.debug.print("initial norm = {}", norm0)
 
@@ -77,18 +81,18 @@ def _hform_solve(op, x0, b, tol, btol, maxit, debug=False):
         return (st.i < maxit) & (st.status == _RUNNING)
 
     def body(st: _HState) -> _HState:
-        rho_ = r0 @ st.r
+        rho_ = dot(r0, st.r)
         beta = (rho_ / st.rho) * (st.alpha / st.omega)
         p_ = st.r + beta * (st.p - st.omega * st.v)
-        v_ = op.matvec(p_)
-        alpha = rho_ / (r0 @ v_)
+        v_ = matvec(p_)
+        alpha = rho_ / dot(r0, v_)
         h = st.x0 + alpha * p_
         s = st.r - alpha * v_
-        t = op.matvec(s)
-        omega = (t @ s) / (t @ t)
+        t = matvec(s)
+        omega = dot(t, s) / dot(t, t)
         x = h + omega * s
         r_ = s - omega * t
-        norm = jnp.sqrt(r_ @ r_)
+        norm = jnp.sqrt(dot(r_, r_))
         if debug:
             jax.debug.print("k = {}, norm = {}", st.i, norm)
         conv = norm < tol * norm0
@@ -107,6 +111,11 @@ def _hform_solve(op, x0, b, tol, btol, maxit, debug=False):
     return st.x, st.status, st.i, st.norm, norm0, st.hist
 
 
+@partial(jax.jit, static_argnames=("maxit", "debug"))
+def _hform_solve(op, x0, b, tol, btol, maxit, debug=False):
+    return hform_core(op.matvec, jnp.dot, x0, b, tol, btol, maxit, debug)
+
+
 class _PState(NamedTuple):
     i: jax.Array
     status: jax.Array
@@ -121,17 +130,18 @@ class _PState(NamedTuple):
     hist: jax.Array
 
 
-@partial(jax.jit, static_argnames=("maxit", "debug"))
-def _precond_solve(op, pre, x0, b, tol, maxit, debug=False):
+def precond_core(matvec, msolve, dot, x0, b, tol, maxit, debug=False):
     """Preconditioned BiCGSTAB loop (reference gpu_pbicgstab,
     pbicgstab.cu:45-154): two M-solve + SpMV half-steps per iteration with a
     convergence check after each; the first check exits *without* bumping the
-    iteration counter (reference :116), the second bumps it (:147-150)."""
+    iteration counter (reference :116), the second bumps it (:147-150).
+
+    Generic over ``matvec``/``msolve``/``dot`` (see :func:`hform_core`)."""
     dt = b.dtype
     one = jnp.asarray(1.0, dt)
-    r = b - op.matvec(x0)
+    r = b - matvec(x0)
     rw = r
-    nrmr0 = jnp.sqrt(r @ r)
+    nrmr0 = jnp.sqrt(dot(r, r))
     if debug:
         jax.debug.print("gpu, init residual:norm {}", nrmr0)
 
@@ -140,31 +150,31 @@ def _precond_solve(op, pre, x0, b, tol, maxit, debug=False):
 
     def body(st: _PState) -> _PState:
         rhop = st.rho
-        rho = rw @ st.r
+        rho = dot(rw, st.r)
         p = jax.lax.cond(
             st.i > 0,
             lambda: st.r + (rho / rhop) * (st.alpha / st.omega)
             * (st.p - st.omega * st.v),
             lambda: st.p,
         )
-        pw = pre.msolve(p)
-        v = op.matvec(pw)
-        alpha = rho / (rw @ v)
+        pw = msolve(p)
+        v = matvec(pw)
+        alpha = rho / dot(rw, v)
         r1 = st.r - alpha * v
         x1 = st.x + alpha * pw
-        nrmr1 = jnp.sqrt(r1 @ r1)
+        nrmr1 = jnp.sqrt(dot(r1, r1))
         if debug:
             jax.debug.print("i = {}, residual norm (before precond) = {}",
                             st.i, nrmr1)
         conv1 = nrmr1 < tol * nrmr0
 
         def second_half(_):
-            s = pre.msolve(r1)
-            t = op.matvec(s)
-            omega = (t @ r1) / (t @ t)
+            s = msolve(r1)
+            t = matvec(s)
+            omega = dot(t, r1) / dot(t, t)
             x2 = x1 + omega * s
             r2 = r1 - omega * t
-            nrmr2 = jnp.sqrt(r2 @ r2)
+            nrmr2 = jnp.sqrt(dot(r2, r2))
             return x2, r2, omega, nrmr2
 
         x2, r2, omega, nrmr2 = jax.lax.cond(
@@ -185,6 +195,12 @@ def _precond_solve(op, pre, x0, b, tol, maxit, debug=False):
                    jnp.full((2 * maxit,), -1.0, dt))
     st = jax.lax.while_loop(cond, body, init)
     return st.x, st.status, st.i, st.nrmr, nrmr0, st.hist
+
+
+@partial(jax.jit, static_argnames=("maxit", "debug"))
+def _precond_solve(op, pre, x0, b, tol, maxit, debug=False):
+    return precond_core(op.matvec, pre.msolve, jnp.dot, x0, b, tol, maxit,
+                        debug)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,115 @@
+"""Distributed-layer tests on the forced 8-device CPU host platform
+(SURVEY §4 implication 4): row-partitioned SpMV + halo exchange + psum dots
+must match the single-chip results exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cuda_mat_tpu.config import SolverConfig
+from cuda_mat_tpu.models.problems import banded_laplacian
+from cuda_mat_tpu.parallel.mesh import make_mesh
+from cuda_mat_tpu.parallel.partition import RowPartitionedBanded
+from cuda_mat_tpu.parallel.dist_solver import (dist_bicgstab, dist_spmv,
+                                               make_dist_spmv)
+from cuda_mat_tpu.reference.cpu_solvers import bicgstab_hform_cpu
+from cuda_mat_tpu.solvers.bicgstab import bicgstab
+
+
+needs_8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                             reason="needs 8 (virtual) devices")
+
+
+@pytest.fixture(scope="module")
+def lap():
+    return banded_laplacian(40)  # n=1600, w=40
+
+
+def test_partition_plan(lap):
+    part = RowPartitionedBanded.from_matrix(lap, 8)
+    assert part.npad == 1600 and part.shard_rows == 200 and part.halo == 40
+    # padded rows are identity
+    part2 = RowPartitionedBanded.from_matrix(banded_laplacian(13), 8)  # n=169
+    assert part2.npad == 176
+    k0 = part2.offsets.index(0)
+    np.testing.assert_allclose(part2.data[k0, 169:], 1.0)
+
+
+def test_partition_rejects_wide_band():
+    with pytest.raises(ValueError):
+        RowPartitionedBanded.from_matrix(banded_laplacian(4), 8)  # n=16, w=4>2
+
+
+@needs_8
+@pytest.mark.parametrize("ndev", [2, 4, 8])
+def test_dist_spmv_matches_host(lap, ndev, rng):
+    mesh = make_mesh(ndev)
+    x = rng.standard_normal(lap.n)
+    y = dist_spmv(lap, x, mesh)
+    np.testing.assert_allclose(y, lap.matvec(x), rtol=1e-12, atol=1e-12)
+
+
+@needs_8
+def test_dist_spmv_uneven_rows(rng):
+    a = banded_laplacian(13)  # n=169, not divisible by 8
+    mesh = make_mesh(8)
+    x = rng.standard_normal(a.n)
+    y = dist_spmv(a, x, mesh)
+    np.testing.assert_allclose(y, a.matvec(x), rtol=1e-12, atol=1e-12)
+
+
+@needs_8
+def test_dist_bicgstab_matches_oracle(lap, rng):
+    b = rng.uniform(1.0, 5.0, lap.n)
+    mesh = make_mesh(8)
+    cfg = SolverConfig(maxit=2000, tol=1e-6)
+    res = dist_bicgstab(lap, b, mesh, cfg)
+    ref = bicgstab_hform_cpu(lap, b, maxit=2000, tol=1e-6)
+    assert res.converged
+    assert abs(res.iters - ref.iters) <= 5
+    np.testing.assert_allclose(res.trajectory()[:10],
+                               np.asarray(ref.residual_history)[:10],
+                               rtol=1e-6, atol=1e-9)
+    r = np.linalg.norm(b - lap.matvec(res.x)) / np.linalg.norm(b)
+    assert r < 1e-5
+
+
+@needs_8
+def test_dist_bicgstab_matches_single_chip(lap, rng):
+    """Distributed vs single-device solve of the identical algorithm."""
+    b = rng.uniform(1.0, 5.0, lap.n)
+    cfg = SolverConfig(maxit=2000, tol=1e-6)
+    res_d = dist_bicgstab(lap, b, make_mesh(4), cfg)
+    res_s = bicgstab(lap, b, cfg)
+    assert res_d.converged and res_s.converged
+    np.testing.assert_allclose(res_d.x, res_s.x, rtol=1e-6, atol=1e-8)
+
+
+@needs_8
+def test_dist_jacobi(lap, rng):
+    b = rng.uniform(1.0, 5.0, lap.n)
+    cfg = SolverConfig(maxit=2000, tol=1e-6, precond="jacobi")
+    res = dist_bicgstab(lap, b, make_mesh(8), cfg)
+    assert res.converged
+    r = np.linalg.norm(b - lap.matvec(res.x)) / np.linalg.norm(b)
+    assert r < 1e-5
+
+
+@needs_8
+def test_dist_single_device_mesh(lap, rng):
+    """ndev=1 degenerates to a local solve (no ppermute partners)."""
+    b = rng.uniform(1.0, 5.0, lap.n)
+    res = dist_bicgstab(lap, b, make_mesh(1), SolverConfig(tol=1e-6))
+    assert res.converged
+
+
+@needs_8
+def test_make_dist_spmv_reuse(lap, rng):
+    mesh = make_mesh(8)
+    part = RowPartitionedBanded.from_matrix(lap, 8)
+    fn, put = make_dist_spmv(part, mesh, dtype=jnp.float64)
+    for _ in range(2):
+        x = rng.standard_normal(lap.n)
+        y = part.unpad_vector(np.asarray(fn(put(x))))
+        np.testing.assert_allclose(y, lap.matvec(x), rtol=1e-12, atol=1e-12)
