@@ -60,6 +60,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--trisolve-block", type=int, default=256)
     p.add_argument("--devices", type=int, default=None,
                    help="row-partition across N devices (precond none/jacobi)")
+    p.add_argument("--omp-format", action="store_true",
+                   help="read -M/-V in the bicstab_omp custom text formats "
+                        "instead of Matrix Market")
+    p.add_argument("--checkpoint", help="save the final iterate to this .npz")
+    p.add_argument("--resume", help="resume x0 from a checkpoint .npz")
     p.add_argument("--x64", action="store_true", help="enable float64")
     p.add_argument("--platform", choices=["cpu", "tpu"], default=None,
                    help="force the JAX backend (the axon TPU plugin ignores "
@@ -95,7 +100,12 @@ def main(argv=None) -> int:
     with timer.phase("load"):
         if args.matrix:
             print(f"Using matrix input file [{args.matrix}]")
-            a = load_mm_sparse_matrix(args.matrix)
+            if args.omp_format:
+                from cuda_mat_tpu.io import omp_format
+
+                a = omp_format.read_matrix(args.matrix)
+            else:
+                a = load_mm_sparse_matrix(args.matrix)
             if a.n != a.m:
                 print("!!!! square matrix is expected", file=sys.stderr)
                 return 1
@@ -104,15 +114,23 @@ def main(argv=None) -> int:
                                               seed=args.seed)
         if args.vector:
             print(f"Using vector input file [{args.vector}]")
-            _, coo = read_mm(args.vector)
-            vec = coo.to_csr()
-            if vec.m != 1:
-                print("b must be a vector !", file=sys.stderr)
-                return 1
-            if vec.n != a.n:
-                print("incorrect dim", file=sys.stderr)
-                return 1
-            b = to_dense_vector(vec)
+            if args.omp_format:
+                from cuda_mat_tpu.io import omp_format
+
+                b = omp_format.read_vector(args.vector)
+                if b.shape[0] != a.n:
+                    print("incorrect dim", file=sys.stderr)
+                    return 1
+            else:
+                _, coo = read_mm(args.vector)
+                vec = coo.to_csr()
+                if vec.m != 1:
+                    print("b must be a vector !", file=sys.stderr)
+                    return 1
+                if vec.n != a.n:
+                    print("incorrect dim", file=sys.stderr)
+                    return 1
+                b = to_dense_vector(vec)
         else:
             b = gen_rand_vector(a.n, 0.2, 1.0, 5.0, seed=args.seed + 1)
 
@@ -124,6 +142,15 @@ def main(argv=None) -> int:
                        dtype=args.dtype, precond=args.precond,
                        trisolve_block=args.trisolve_block)
 
+    x0 = None
+    if args.resume:
+        from cuda_mat_tpu.utils.checkpoint import load_checkpoint
+
+        ck = load_checkpoint(args.resume)
+        x0 = ck.x
+        print(f"resuming from {args.resume} (iters={ck.iters}, "
+              f"residual={ck.residual:.3e})")
+
     with timer.phase("solve"):
         if args.devices:
             from cuda_mat_tpu.parallel.mesh import make_mesh
@@ -133,12 +160,18 @@ def main(argv=None) -> int:
                 print("distributed solve supports --precond none/jacobi; "
                       "use --precond jacobi", file=sys.stderr)
                 return 1
-            res = dist_bicgstab(a, b, make_mesh(args.devices), cfg)
+            res = dist_bicgstab(a, b, make_mesh(args.devices), cfg, x0=x0)
         elif args.solver == "bicg":
             res = bicg(a, b, cfg)
         else:
-            res = solve(a, b, cfg)
+            res = solve(a, b, cfg, x0=x0)
     t_total = time.perf_counter() - t_total0
+
+    if args.checkpoint:
+        from cuda_mat_tpu.utils.checkpoint import save_checkpoint
+
+        save_checkpoint(args.checkpoint, res)
+        print(f"checkpoint saved to {args.checkpoint}")
 
     if res.converged:
         print("success")

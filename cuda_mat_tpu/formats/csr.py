@@ -171,10 +171,10 @@ class CSRMatrix:
 
         return ELLMatrix.from_csr(self, pad_col=pad_col)
 
-    def to_dia(self):
+    def to_dia(self, max_diags: Optional[int] = None):
         from cuda_mat_tpu.formats.dia import DIAMatrix
 
-        return DIAMatrix.from_csr(self)
+        return DIAMatrix.from_csr(self, max_diags=max_diags)
 
     def to_bsr(self, block: int = 2):
         from cuda_mat_tpu.formats.bsr import BSRMatrix

@@ -216,8 +216,25 @@ def _as_op(a, dtype, format=None):
         if a.n != a.m:
             raise ValueError(
                 f"square matrix is expected, got {a.n}x{a.m}")  # cf. example.cpp:257-260
+        if format == "pallas_dia" or (format is None
+                                      and jax.default_backend() == "tpu"):
+            # on TPU prefer the Pallas block-halo kernel when the matrix is
+            # banded enough for DIA (~5x the XLA DIA formulation)
+            try:
+                dia = a.to_dia(max_diags=16)
+                if a.nnz >= 0.4 * dia.ndiag * a.n or format == "pallas_dia":
+                    from cuda_mat_tpu.ops.pallas_spmv import PallasDIAOperator
+
+                    return PallasDIAOperator.from_dia(dia, dtype=dtype)
+            except ValueError:
+                if format == "pallas_dia":
+                    raise
         return make_operator(a, dtype=dtype, format=format)
     return a  # already a device operator
+
+
+def _is_padded(op) -> bool:
+    return hasattr(op, "pad_vec")
 
 
 def _check_shapes(op, b):
@@ -248,14 +265,19 @@ def bicgstab(a, b, config: SolverConfig = DEFAULT_CONFIG,
     t0 = time.perf_counter()
     op = _as_op(a, dt, format)
     _check_shapes(op, b)
-    bd = jnp.asarray(b, dt)
-    x0d = jnp.ones_like(bd) if x0 is None else jnp.asarray(x0, dt)
+    if _is_padded(op):
+        bd = op.pad_vec(np.asarray(b))
+        x0d = op.pad_vec(np.ones(op.n) if x0 is None else np.asarray(x0))
+    else:
+        bd = jnp.asarray(b, dt)
+        x0d = jnp.ones_like(bd) if x0 is None else jnp.asarray(x0, dt)
     t1 = time.perf_counter()
     out = _hform_solve(op, x0d, bd, jnp.asarray(config.tol, dt),
                        jnp.asarray(config.breakdown_tol, dt), config.maxit,
                        config.debug)
     out = jax.block_until_ready(out)
     t2 = time.perf_counter()
+    out = (op.unpad_vec(out[0]),) + out[1:] if _is_padded(op) else out
     return _finish(*out, t2 - t1, t1 - t0, config.maxit)
 
 
@@ -265,7 +287,9 @@ def bicgstab_split(a0, d, x0, b, config: SolverConfig = DEFAULT_CONFIG,
     x0 (reference pbicgstab.cu:926-1088; SpMV is the fused d∘x + A0·x)."""
     dt = _dtype_of(config)
     t0 = time.perf_counter()
-    base = _as_op(a0, dt, format)
+    # the split operator composes with plain (unpadded) formats only
+    base = (make_operator(a0, dtype=dt, format=format)
+            if isinstance(a0, CSRMatrix) else a0)
     op = SplitOperator(base, jnp.asarray(d, dt))
     _check_shapes(op, b)
     bd = jnp.asarray(b, dt)
@@ -294,22 +318,42 @@ def solve(a, b, config: SolverConfig = DEFAULT_CONFIG,
           ) -> SolveResult:
     """Generic preconditioned solve; ``config.precond`` selects
     none/jacobi/ilu0."""
-    if config.precond in (None, "none", "identity") and x0 is None:
-        return bicgstab(a, b, config, format=format)
+    if config.precond in (None, "none", "identity"):
+        return bicgstab(a, b, config, x0=x0, format=format)
     dt = _dtype_of(config)
     t0 = time.perf_counter()
     op = _as_op(a, dt, format)
     _check_shapes(op, b)
+    padded = _is_padded(op)
+    if padded and config.precond == "ilu0":
+        # the blocked triangular solver works on unpadded vectors; fall back
+        # to the plain DIA/ELL operator for the ILU path
+        op = make_operator(a, dtype=dt, format=None)
+        padded = False
     if isinstance(a, CSRMatrix):
-        pre = make_preconditioner(config.precond, a,
-                                  block=config.trisolve_block, dtype=dt)
+        if padded and config.precond == "jacobi":
+            from cuda_mat_tpu.precond.preconditioners import JacobiPreconditioner
+
+            diag = a.diagonal()
+            if np.any(diag == 0):
+                raise ValueError(
+                    "Jacobi preconditioner requires a nonzero diagonal")
+            pre = JacobiPreconditioner(op.pad_vec(1.0 / diag))
+        else:
+            pre = make_preconditioner(config.precond, a,
+                                      block=config.trisolve_block, dtype=dt)
     else:
         pre = IdentityPreconditioner()
-    bd = jnp.asarray(b, dt)
-    x0d = jnp.ones_like(bd) if x0 is None else jnp.asarray(x0, dt)
+    if padded:
+        bd = op.pad_vec(np.asarray(b))
+        x0d = op.pad_vec(np.ones(op.n) if x0 is None else np.asarray(x0))
+    else:
+        bd = jnp.asarray(b, dt)
+        x0d = jnp.ones_like(bd) if x0 is None else jnp.asarray(x0, dt)
     t1 = time.perf_counter()
     out = _precond_solve(op, pre, x0d, bd, jnp.asarray(config.tol, dt),
                          config.maxit, config.debug)
     out = jax.block_until_ready(out)
     t2 = time.perf_counter()
+    out = (op.unpad_vec(out[0]),) + out[1:] if padded else out
     return _finish(*out, t2 - t1, t1 - t0, config.maxit)

@@ -1,5 +1,15 @@
-"""Timers, metrics, and observability helpers."""
+"""Timers, norms, checkpointing, dense QR, and observability helpers."""
 
 from cuda_mat_tpu.utils.timing import PhaseTimer, second
+from cuda_mat_tpu.utils.norms import vec_norminf, mat_norminf, csr_mat_norminf
+from cuda_mat_tpu.utils.checkpoint import save_checkpoint, load_checkpoint
 
-__all__ = ["PhaseTimer", "second"]
+__all__ = [
+    "PhaseTimer",
+    "second",
+    "vec_norminf",
+    "mat_norminf",
+    "csr_mat_norminf",
+    "save_checkpoint",
+    "load_checkpoint",
+]

@@ -1,0 +1,32 @@
+"""CLI extensions: omp-format ingestion, checkpoint/resume."""
+
+import numpy as np
+
+from cuda_mat_tpu.cli import main
+from cuda_mat_tpu.io import omp_format
+from cuda_mat_tpu.models.problems import fixture_path, banded_laplacian
+
+
+def test_cli_omp_format(tmp_path, capsys, rng):
+    a = banded_laplacian(8)
+    b = rng.uniform(1.0, 5.0, 64)
+    mp, vp = str(tmp_path / "mat.txt"), str(tmp_path / "vec.txt")
+    omp_format.write_matrix(mp, a)
+    omp_format.write_vector(vp, b)
+    rc = main(["-M", mp, "-V", vp, "--omp-format", "--solver", "bicg",
+               "--precond", "none"])
+    assert rc == 0
+    assert "success" in capsys.readouterr().out
+
+
+def test_cli_checkpoint_resume(tmp_path, capsys):
+    ck = str(tmp_path / "ck.npz")
+    rc = main(["-M", fixture_path("mat900"), "--precond", "none",
+               "--maxit", "10", "--tol", "1e-14", "--checkpoint", ck])
+    assert rc == 2  # not converged in 10 iters at 1e-14
+    capsys.readouterr()
+    rc = main(["-M", fixture_path("mat900"), "--precond", "none",
+               "--resume", ck])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "resuming" in out and "success" in out
