@@ -65,6 +65,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "instead of Matrix Market")
     p.add_argument("--checkpoint", help="save the final iterate to this .npz")
     p.add_argument("--resume", help="resume x0 from a checkpoint .npz")
+    p.add_argument("--profile", metavar="DIR",
+                   help="capture a jax.profiler trace of the solve into DIR")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans (fail fast on NaN)")
     p.add_argument("--x64", action="store_true", help="enable float64")
     p.add_argument("--platform", choices=["cpu", "tpu"], default=None,
                    help="force the JAX backend (the axon TPU plugin ignores "
@@ -84,6 +88,8 @@ def main(argv=None) -> int:
         from cuda_mat_tpu.config import use_x64
 
         use_x64(True)
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     from cuda_mat_tpu import (SolverConfig, bicg, load_mm_sparse_matrix,
                               read_mm, solve, to_dense_vector)
@@ -151,7 +157,11 @@ def main(argv=None) -> int:
         print(f"resuming from {args.resume} (iters={ck.iters}, "
               f"residual={ck.residual:.3e})")
 
-    with timer.phase("solve"):
+    import contextlib
+
+    prof = (jax.profiler.trace(args.profile) if args.profile
+            else contextlib.nullcontext())
+    with prof, timer.phase("solve"):
         if args.devices:
             from cuda_mat_tpu.parallel.mesh import make_mesh
             from cuda_mat_tpu.parallel.dist_solver import dist_bicgstab
