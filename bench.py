@@ -72,12 +72,21 @@ def main():
     info["roofline_gbps"] = round(roofline_gbps, 1)
 
     # ---- DIA SpMV on a large banded Laplacian -----------------------------
+    # Pallas block-halo kernel on TPU (the production operator for banded
+    # matrices); plain XLA DIA on CPU (Pallas interpret mode is too slow to
+    # chain-time there)
     side = 3163 if backend == "tpu" else 500   # 10.0M rows on TPU
     dia = banded_laplacian_dia(side, dtype=np.float32)
     n = dia.n
-    op = DIAOperator(jnp.asarray(dia.data), tuple(int(o) for o in dia.offsets),
-                     n)
-    x = jnp.ones((n,), jnp.float32)
+    if backend == "tpu":
+        from cuda_mat_tpu.ops.pallas_spmv import PallasDIAOperator
+
+        op = PallasDIAOperator.from_dia(dia, block=16384)
+        x = op.pad_vec(jnp.ones((n,), jnp.float32))
+    else:
+        op = DIAOperator(jnp.asarray(dia.data),
+                         tuple(int(o) for o in dia.offsets), n)
+        x = jnp.ones((n,), jnp.float32)
     # *0.1 keeps the chained iterates bounded (spectral radius < 1); the
     # scale fuses into the spmv epilogue for free
     t_spmv = _chain_time(lambda y: op.matvec(y) * 0.1, x, k=200)

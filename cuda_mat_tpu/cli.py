@@ -49,7 +49,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="print the solution vector")
     p.add_argument("--solver", choices=["bicgstab", "bicg"],
                    default="bicgstab")
-    p.add_argument("--precond", choices=["none", "jacobi", "ilu0"],
+    p.add_argument("--precond",
+                   choices=["none", "jacobi", "ilu0", "bjacobi_ilu0"],
                    default="ilu0")
     p.add_argument("--maxit", type=int, default=2000)
     p.add_argument("--tol", type=float, default=1e-6)
@@ -167,8 +168,9 @@ def main(argv=None) -> int:
             from cuda_mat_tpu.parallel.dist_solver import dist_bicgstab
 
             if args.precond == "ilu0":
-                print("distributed solve supports --precond none/jacobi; "
-                      "use --precond jacobi", file=sys.stderr)
+                print("exact global ILU(0) does not distribute; use "
+                      "--precond bjacobi_ilu0 (per-shard ILU) or jacobi",
+                      file=sys.stderr)
                 return 1
             res = dist_bicgstab(a, b, make_mesh(args.devices), cfg, x0=x0)
         elif args.solver == "bicg":

@@ -108,8 +108,11 @@ def dist_bicgstab(a, b: np.ndarray, mesh: Mesh,
 
     ``config.precond``: "none" runs the h-form loop (parity with
     :func:`cuda_mat_tpu.solvers.bicgstab.bicgstab`); "jacobi" runs the
-    preconditioned loop with a sharded diagonal.  ILU(0) is a sequential
-    global recurrence — use the single-chip path for it, or Jacobi at scale.
+    preconditioned loop with a sharded diagonal; "bjacobi_ilu0" runs it with
+    the block-Jacobi ILU(0) preconditioner (per-shard local ILU solves, zero
+    communication per application — see
+    :mod:`cuda_mat_tpu.parallel.dist_precond`).  Exact global ILU(0) is a
+    sequential recurrence — use the single-chip path for that.
     """
     t0 = time.perf_counter()
     dt = jnp.dtype(config.dtype)
@@ -133,12 +136,14 @@ def dist_bicgstab(a, b: np.ndarray, mesh: Mesh,
     dot = _psum_dot(axis)
     tol = jnp.asarray(config.tol, dt)
     btol = jnp.asarray(config.breakdown_tol, dt)
-    use_jacobi = config.precond == "jacobi"
-    if config.precond not in (None, "none", "identity", "jacobi"):
+    mode = config.precond or "none"
+    if mode in ("identity",):
+        mode = "none"
+    if mode not in ("none", "jacobi", "bjacobi_ilu0"):
         raise ValueError(
-            f"distributed solver supports precond none/jacobi, got "
-            f"{config.precond!r}")
-    if use_jacobi:
+            f"distributed solver supports precond none/jacobi/bjacobi_ilu0, "
+            f"got {config.precond!r}")
+    if mode == "jacobi":
         diag = part.data[part.offsets.index(0)]
         if np.any(diag == 0):
             raise ValueError("Jacobi preconditioner requires a nonzero diagonal")
@@ -146,22 +151,43 @@ def dist_bicgstab(a, b: np.ndarray, mesh: Mesh,
     else:
         inv_diag = jax.device_put(jnp.ones(part.npad, dt), vec_sharding)
 
+    if mode == "bjacobi_ilu0":
+        from cuda_mat_tpu.parallel.dist_precond import (
+            build_block_jacobi_ilu, local_solver_from_stacked)
+
+        tb = min(config.trisolve_block, part.shard_rows)
+        stacked = build_block_jacobi_ilu(part, tb, dt)
+        shard_leading = NamedSharding(mesh, P(axis))
+        tri_stacked = tuple(jax.device_put(jnp.asarray(s), shard_leading)
+                            for s in stacked)
+        tri_specs = (P(axis),) * 6
+    else:
+        tb = 0
+        tri_stacked = ()
+        tri_specs = ()
+
     maxit, debug = config.maxit, config.debug
 
     @jax.jit
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(None, axis), P(axis), P(axis), P(axis), P(), P()),
+             in_specs=(P(None, axis), P(axis), P(axis), P(axis), P(), P())
+             + tri_specs,
              out_specs=(P(axis), P(), P(), P(), P(), P()),
              check_vma=False)
-    def run(data_l, x0_l, b_l, inv_diag_l, tol_, btol_):
+    def run(data_l, x0_l, b_l, inv_diag_l, tol_, btol_, *tri_l):
         mv = lambda xl: local_mv(data_l, xl)
-        if use_jacobi:
+        if mode == "jacobi":
             return precond_core(mv, lambda f: inv_diag_l * f, dot, x0_l, b_l,
                                 tol_, maxit, debug)
+        if mode == "bjacobi_ilu0":
+            tri = local_solver_from_stacked(*tri_l, part.shard_rows, tb)
+            return precond_core(mv, tri.msolve, dot, x0_l, b_l, tol_, maxit,
+                                debug)
         return hform_core(mv, dot, x0_l, b_l, tol_, btol_, maxit, debug)
 
     t1 = time.perf_counter()
-    out = jax.block_until_ready(run(data, x0p, bp, inv_diag, tol, btol))
+    out = jax.block_until_ready(run(data, x0p, bp, inv_diag, tol, btol,
+                                    *tri_stacked))
     t2 = time.perf_counter()
     x, status, iters, nrmr, nrmr0, hist = out
     status = int(np.asarray(status).reshape(-1)[0])

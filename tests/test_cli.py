@@ -71,4 +71,4 @@ def test_cli_distributed(capsys):
 def test_cli_distributed_rejects_ilu(capsys):
     rc = main(["-M", fixture_path("mat900"), "--devices", "4"])
     assert rc == 1
-    assert "jacobi" in capsys.readouterr().err
+    assert "bjacobi_ilu0" in capsys.readouterr().err
