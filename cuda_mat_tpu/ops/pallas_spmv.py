@@ -50,12 +50,15 @@ def _dia_block_kernel(*refs, offsets: Tuple[int, ...], block: int, sub: int):
     @pl.when((i > 0) & (i < g - 1))
     def _interior():
         # xs covers padded x rows [i*B - S, i*B + B + S); out row j (true row
-        # (i-1)*B + j) with offset `off` reads xs[j + S + off]
+        # (i-1)*B + j) with offset `off` reads xs[j + S + off].  Diagonal
+        # values may be stored in a narrower dtype (bf16) than the vectors to
+        # halve the dominant HBM stream; accumulate in the vector dtype.
         xs = jnp.concatenate([r[:] for r in x_refs])
-        acc = data_ref[0, :] * jax.lax.slice(xs, (sub + offsets[0],),
-                                             (sub + offsets[0] + block,))
+        vdt = xs.dtype
+        acc = data_ref[0, :].astype(vdt) * jax.lax.slice(
+            xs, (sub + offsets[0],), (sub + offsets[0] + block,))
         for d, off in enumerate(offsets[1:], start=1):
-            acc = acc + data_ref[d, :] * jax.lax.slice(
+            acc = acc + data_ref[d, :].astype(vdt) * jax.lax.slice(
                 xs, (sub + off,), (sub + off + block,))
         y_ref[:] = acc
 
@@ -107,7 +110,7 @@ def dia_spmv_block_padded(data: jax.Array, x_pad: jax.Array,
         ],
         out_specs=pl.BlockSpec((block,), lambda i: (i,),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((npad + 2 * block,), data.dtype),
+        out_shape=jax.ShapeDtypeStruct((npad + 2 * block,), x_pad.dtype),
         interpret=interpret,
     )(*([x_pad] * (k + 2)), data)
 
@@ -121,11 +124,15 @@ class PallasDIAOperator:
     padded space (padding is invariant under the whole iteration).
     """
 
-    data: jax.Array            # [ndiag, npad]
+    data: jax.Array            # [ndiag, npad] (may be bf16: halves the
+                               # dominant HBM stream; lossless when the matrix
+                               # values are bf16-representable, e.g. the
+                               # Laplacian stencils)
     offsets: Tuple[int, ...]   # static
     n: int                     # static true dimension
     block: int                 # static
     sub: int                   # static halo sub-block (bandwidth <= sub <= block)
+    vec_dtype: str = "float32" # static: dtype of the padded vectors
     interpret: bool = False    # static (CPU testing)
 
     @property
@@ -138,21 +145,25 @@ class PallasDIAOperator:
 
     @classmethod
     def from_dia(cls, dia, dtype=jnp.float32, block: int = 16384,
-                 interpret: bool = False) -> "PallasDIAOperator":
+                 data_dtype=None, interpret: bool = False
+                 ) -> "PallasDIAOperator":
         offsets = tuple(int(o) for o in dia.offsets)
         w = max(abs(offsets[0]), abs(offsets[-1])) if offsets else 1
         sub = _round_up(w, 1024)
         block = max(block, sub)
         block = _round_up(block, sub)
         npad = _round_up(dia.n, block)
-        data = np.zeros((len(offsets), npad), dtype=np.dtype(dtype))
+        data = np.zeros((len(offsets), npad),
+                        dtype=np.dtype(data_dtype or dtype))
         data[:, : dia.n] = dia.data
-        return cls(jnp.asarray(data), offsets, dia.n, block, sub, interpret)
+        return cls(jnp.asarray(data), offsets, dia.n, block, sub,
+                   str(np.dtype(dtype)), interpret)
 
     def pad_vec(self, v) -> jax.Array:
-        out = jnp.zeros(self.npad + 2 * self.block, self.data.dtype)
+        dt = jnp.dtype(self.vec_dtype)
+        out = jnp.zeros(self.npad + 2 * self.block, dt)
         return out.at[self.block: self.block + v.shape[0]].set(
-            jnp.asarray(v, self.data.dtype))
+            jnp.asarray(v, dt))
 
     def unpad_vec(self, v_pad: jax.Array) -> jax.Array:
         return v_pad[self.block: self.block + self.n]
@@ -164,4 +175,4 @@ class PallasDIAOperator:
 
 jax.tree_util.register_dataclass(
     PallasDIAOperator, data_fields=["data"],
-    meta_fields=["offsets", "n", "block", "sub", "interpret"])
+    meta_fields=["offsets", "n", "block", "sub", "vec_dtype", "interpret"])

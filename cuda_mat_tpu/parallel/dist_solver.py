@@ -103,7 +103,8 @@ def dist_spmv(a, x: np.ndarray, mesh: Mesh, dtype=jnp.float64) -> np.ndarray:
 
 def dist_bicgstab(a, b: np.ndarray, mesh: Mesh,
                   config: SolverConfig = DEFAULT_CONFIG,
-                  x0: Optional[np.ndarray] = None) -> SolveResult:
+                  x0: Optional[np.ndarray] = None,
+                  halo_mode: str = "auto") -> SolveResult:
     """Row-partitioned BiCGSTAB over the mesh.
 
     ``config.precond``: "none" runs the h-form loop (parity with
@@ -113,15 +114,60 @@ def dist_bicgstab(a, b: np.ndarray, mesh: Mesh,
     communication per application — see
     :mod:`cuda_mat_tpu.parallel.dist_precond`).  Exact global ILU(0) is a
     sequential recurrence — use the single-chip path for that.
+
+    ``halo_mode``: "auto" picks neighbor-ppermute halos for banded matrices
+    and an all-gather of x for general sparsity; "ppermute"/"allgather" force
+    one (SURVEY §5 "ppermute/all-gather for halo x segments").
     """
     t0 = time.perf_counter()
     dt = jnp.dtype(config.dtype)
     axis = mesh.axis_names[0]
     ndev = mesh.devices.size
-    part = RowPartitionedBanded.from_matrix(a, ndev)
+
+    banded = None
+    if halo_mode in ("auto", "ppermute"):
+        try:
+            part = RowPartitionedBanded.from_matrix(a, ndev)
+            banded = True
+        except ValueError:
+            if halo_mode == "ppermute":
+                raise
+    if banded is None:
+        from cuda_mat_tpu.parallel.partition import RowPartitionedELL
+
+        part = RowPartitionedELL.from_matrix(a, ndev)
+        banded = False
+
     vec_sharding = NamedSharding(mesh, P(axis))
-    data = jax.device_put(jnp.asarray(part.data, dt),
-                          NamedSharding(mesh, P(None, axis)))
+    if banded:
+        mat_args = (jax.device_put(jnp.asarray(part.data, dt),
+                                   NamedSharding(mesh, P(None, axis))),)
+        mat_specs = (P(None, axis),)
+        local_mv_banded = _make_local_matvec(part.offsets, part.halo,
+                                             part.shard_rows, ndev, axis)
+
+        def make_mv(mat_l):
+            return lambda xl: local_mv_banded(mat_l[0], xl)
+
+        diag = part.data[part.offsets.index(0)]
+    else:
+        mat_args = (jax.device_put(jnp.asarray(part.values, dt),
+                                   NamedSharding(mesh, P(axis, None))),
+                    jax.device_put(jnp.asarray(part.cols),
+                                   NamedSharding(mesh, P(axis, None))))
+        mat_specs = (P(axis, None), P(axis, None))
+
+        def make_mv(mat_l):
+            vals_l, cols_l = mat_l
+
+            def mv(xl):
+                xg = jax.lax.all_gather(xl, axis, axis=0, tiled=True)
+                return jnp.sum(vals_l * jnp.take(xg, cols_l, axis=0), axis=1)
+
+            return mv
+
+        diag = part.diag
+
     bp = jax.device_put(jnp.asarray(part.pad_vector(np.asarray(b)), dt),
                         vec_sharding)
     if x0 is None:
@@ -131,8 +177,6 @@ def dist_bicgstab(a, b: np.ndarray, mesh: Mesh,
         x0h = part.pad_vector(np.asarray(x0))
     x0p = jax.device_put(jnp.asarray(x0h, dt), vec_sharding)
 
-    local_mv = _make_local_matvec(part.offsets, part.halo, part.shard_rows,
-                                  ndev, axis)
     dot = _psum_dot(axis)
     tol = jnp.asarray(config.tol, dt)
     btol = jnp.asarray(config.breakdown_tol, dt)
@@ -144,7 +188,6 @@ def dist_bicgstab(a, b: np.ndarray, mesh: Mesh,
             f"distributed solver supports precond none/jacobi/bjacobi_ilu0, "
             f"got {config.precond!r}")
     if mode == "jacobi":
-        diag = part.data[part.offsets.index(0)]
         if np.any(diag == 0):
             raise ValueError("Jacobi preconditioner requires a nonzero diagonal")
         inv_diag = jax.device_put(jnp.asarray(1.0 / diag, dt), vec_sharding)
@@ -152,6 +195,9 @@ def dist_bicgstab(a, b: np.ndarray, mesh: Mesh,
         inv_diag = jax.device_put(jnp.ones(part.npad, dt), vec_sharding)
 
     if mode == "bjacobi_ilu0":
+        if not banded:
+            raise ValueError("bjacobi_ilu0 requires a banded (DIA) partition;"
+                             " use jacobi for general sparsity")
         from cuda_mat_tpu.parallel.dist_precond import (
             build_block_jacobi_ilu, local_solver_from_stacked)
 
@@ -167,15 +213,19 @@ def dist_bicgstab(a, b: np.ndarray, mesh: Mesh,
         tri_specs = ()
 
     maxit, debug = config.maxit, config.debug
+    n_mat = len(mat_args)
 
     @jax.jit
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(None, axis), P(axis), P(axis), P(axis), P(), P())
+             in_specs=mat_specs + (P(axis), P(axis), P(axis), P(), P())
              + tri_specs,
              out_specs=(P(axis), P(), P(), P(), P(), P()),
              check_vma=False)
-    def run(data_l, x0_l, b_l, inv_diag_l, tol_, btol_, *tri_l):
-        mv = lambda xl: local_mv(data_l, xl)
+    def run(*args):
+        mat_l = args[:n_mat]
+        x0_l, b_l, inv_diag_l, tol_, btol_ = args[n_mat:n_mat + 5]
+        tri_l = args[n_mat + 5:]
+        mv = make_mv(mat_l)
         if mode == "jacobi":
             return precond_core(mv, lambda f: inv_diag_l * f, dot, x0_l, b_l,
                                 tol_, maxit, debug)
@@ -186,7 +236,7 @@ def dist_bicgstab(a, b: np.ndarray, mesh: Mesh,
         return hform_core(mv, dot, x0_l, b_l, tol_, btol_, maxit, debug)
 
     t1 = time.perf_counter()
-    out = jax.block_until_ready(run(data, x0p, bp, inv_diag, tol, btol,
+    out = jax.block_until_ready(run(*mat_args, x0p, bp, inv_diag, tol, btol,
                                     *tri_stacked))
     t2 = time.perf_counter()
     x, status, iters, nrmr, nrmr0, hist = out

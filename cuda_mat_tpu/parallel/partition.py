@@ -69,3 +69,48 @@ class RowPartitionedBanded:
 
     def local_nnz(self) -> int:
         return int(np.count_nonzero(self.data))
+
+
+@dataclasses.dataclass
+class RowPartitionedELL:
+    """Row partition of a *general* sparse matrix in ELL layout.
+
+    For matrices whose column footprint is not a narrow band, neighbor halo
+    exchange does not apply; the distributed SpMV instead all-gathers x over
+    the mesh (SURVEY §5 "ppermute/all-gather" — this is the all-gather side).
+    Padded rows are identity (diag 1) so padding stays a fixed point.
+    """
+
+    n: int
+    npad: int
+    ndev: int
+    shard_rows: int
+    values: np.ndarray   # [npad, K]
+    cols: np.ndarray     # int32[npad, K]
+    diag: np.ndarray     # [npad] (1.0 on padded rows)
+
+    @classmethod
+    def from_matrix(cls, csr: CSRMatrix, ndev: int) -> "RowPartitionedELL":
+        n = csr.n
+        shard_rows = -(-n // ndev)
+        npad = shard_rows * ndev
+        ell = csr.to_ell()
+        k = ell.k
+        values = np.zeros((npad, k), dtype=ell.values.dtype)
+        cols = np.zeros((npad, k), dtype=np.int32)
+        values[:n] = ell.values
+        cols[:n] = ell.cols
+        pad_rows = np.arange(n, npad)
+        cols[n:] = pad_rows[:, None]
+        values[n:, 0] = 1.0
+        diag = np.ones(npad, dtype=values.dtype)
+        diag[:n] = csr.diagonal()
+        return cls(n, npad, ndev, shard_rows, values, cols, diag)
+
+    def pad_vector(self, v: np.ndarray) -> np.ndarray:
+        out = np.zeros(self.npad, dtype=v.dtype)
+        out[: self.n] = v
+        return out
+
+    def unpad_vector(self, v: np.ndarray) -> np.ndarray:
+        return np.asarray(v)[: self.n]

@@ -25,3 +25,17 @@ def csr_mat_norminf(csr) -> float:
     np.add.at(sums, np.repeat(np.arange(csr.n), csr.row_lengths),
               np.abs(csr.data))
     return float(sums.max())
+
+
+def display_matrix(csr, stream=None) -> str:
+    """Pretty-print a small sparse matrix densely (reference
+    helper_cusolver.h:94-116 ``display_matrix``).  Returns the string; also
+    writes to ``stream`` when given."""
+    d = csr.to_dense() if hasattr(csr, "to_dense") else np.asarray(csr)
+    lines = []
+    for row in d:
+        lines.append(" ".join(f"{v:10.4g}" for v in row))
+    out = "\n".join(lines)
+    if stream is not None:
+        stream.write(out + "\n")
+    return out

@@ -151,3 +151,51 @@ def test_dist_rejects_plain_ilu0(lap):
     with pytest.raises(ValueError):
         dist_bicgstab(lap, np.ones(lap.n), make_mesh(4),
                       SolverConfig(precond="ilu0"))
+
+
+@needs_8
+def test_dist_general_allgather(rng):
+    """Non-banded matrix → ELL partition + all-gathered x."""
+    from cuda_mat_tpu.formats.csr import CSRMatrix
+    from cuda_mat_tpu.models.problems import gen_rand_csr_matrix
+
+    a0 = gen_rand_csr_matrix(200, 200, 0.9, 0.5, 2.0, seed=17)
+    a = CSRMatrix.from_dense(a0.to_dense() + 100 * np.eye(200))
+    b = rng.uniform(1.0, 5.0, 200)
+    mesh = make_mesh(8)
+    res = dist_bicgstab(a, b, mesh, SolverConfig(maxit=2000, tol=1e-8),
+                        halo_mode="allgather")
+    assert res.converged
+    r = np.linalg.norm(b - a.matvec(res.x)) / np.linalg.norm(b)
+    assert r < 1e-6
+    # jacobi also works in allgather mode
+    res_j = dist_bicgstab(a, b, mesh,
+                          SolverConfig(maxit=2000, tol=1e-8, precond="jacobi"),
+                          halo_mode="allgather")
+    assert res_j.converged
+
+
+@needs_8
+def test_dist_auto_falls_back_to_allgather(rng):
+    """A matrix with too many diagonals auto-selects the all-gather path."""
+    from cuda_mat_tpu.formats.csr import CSRMatrix
+
+    rng2 = np.random.default_rng(3)
+    d = np.where(rng2.random((120, 120)) > 0.9, rng2.standard_normal((120, 120)),
+                 0.0) + 60 * np.eye(120)
+    a = CSRMatrix.from_dense(d)
+    b = rng.uniform(1.0, 5.0, 120)
+    res = dist_bicgstab(a, b, make_mesh(8), SolverConfig(maxit=2000, tol=1e-8))
+    assert res.converged
+
+
+@needs_8
+def test_dist_ppermute_mode_rejects_general(rng):
+    from cuda_mat_tpu.formats.csr import CSRMatrix
+
+    rng2 = np.random.default_rng(4)
+    d = np.where(rng2.random((64, 64)) > 0.8, 1.0, 0.0) + 40 * np.eye(64)
+    a = CSRMatrix.from_dense(d)
+    with pytest.raises(ValueError):
+        dist_bicgstab(a, np.ones(64), make_mesh(8), SolverConfig(),
+                      halo_mode="ppermute")
