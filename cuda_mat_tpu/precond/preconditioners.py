@@ -62,12 +62,28 @@ class ILU0Preconditioner:
     pbicgstab.cu:356-363); the native C++ factorizer is used when built.
     """
 
-    tri: BlockTriangularSolver
+    tri: object  # BlockTriangularSolver | PallasBandedTriSolver
 
     @classmethod
-    def from_csr(cls, csr, block: int = 256,
-                 dtype=jnp.float64) -> "ILU0Preconditioner":
+    def from_csr(cls, csr, block: int = 256, dtype=jnp.float64,
+                 engine: str = "auto") -> "ILU0Preconditioner":
+        """``engine``: "blocked" = generic fori_loop solver; "pallas_banded" =
+        single-launch Pallas kernel (banded factors only); "auto" = Pallas on
+        a TPU backend when the band fits the block, else blocked."""
         mvals = _factorize(csr)
+        if engine == "auto":
+            engine = "blocked"
+            if jax.default_backend() == "tpu":
+                offs = csr.indices.astype(np.int64) - np.repeat(
+                    np.arange(csr.n, dtype=np.int64), csr.row_lengths)
+                if offs.size and max(-offs.min(), offs.max()) <= block:
+                    engine = "pallas_banded"
+        if engine == "pallas_banded":
+            from cuda_mat_tpu.ops.pallas_trisolve import PallasBandedTriSolver
+
+            return cls(PallasBandedTriSolver.from_factor(csr, mvals,
+                                                         block=block,
+                                                         dtype=dtype))
         return cls(BlockTriangularSolver.from_factor(csr, mvals, block=block,
                                                      dtype=dtype))
 

@@ -1,0 +1,64 @@
+"""Pallas banded triangular-solve kernel vs the sequential numpy oracle
+(interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cuda_mat_tpu.models.problems import banded_laplacian
+from cuda_mat_tpu.ops.pallas_trisolve import PallasBandedTriSolver
+from cuda_mat_tpu.reference.cpu_solvers import (ilu0_factorize,
+                                                solve_lower_unit, solve_upper)
+
+
+def _check(csr, block, rng, rtol=1e-4, atol=1e-4):
+    m = ilu0_factorize(csr)
+    tri = PallasBandedTriSolver.from_factor(csr, m, block=block,
+                                            dtype=jnp.float64, interpret=True)
+    f = rng.standard_normal(csr.n)
+    y_ref = solve_lower_unit(csr, m, f)
+    x_ref = solve_upper(csr, m, y_ref)
+    y = np.asarray(tri.solve_lower(jnp.asarray(f)))
+    np.testing.assert_allclose(y, y_ref, rtol=rtol, atol=atol)
+    x = np.asarray(tri.msolve(jnp.asarray(f)))
+    np.testing.assert_allclose(x, x_ref, rtol=rtol, atol=atol)
+
+
+@pytest.mark.parametrize("block", [16, 64])
+def test_banded_laplacian(block, rng):
+    _check(banded_laplacian(12), block, rng, rtol=1e-9, atol=1e-9)
+
+
+def test_block_not_dividing_n(rng):
+    _check(banded_laplacian(11), 32, rng, rtol=1e-9, atol=1e-9)  # n=121
+
+
+def test_mat900(mat900, rng):
+    _check(mat900, 64, rng, rtol=1e-8, atol=1e-8)
+
+
+def test_rejects_band_wider_than_block(mat900):
+    m = ilu0_factorize(mat900)
+    with pytest.raises(ValueError):
+        PallasBandedTriSolver.from_factor(mat900, m, block=16)
+
+
+def test_ilu_bicgstab_with_pallas_trisolve(mat900, rng):
+    """Full preconditioned loop with the Pallas trisolve as msolve."""
+    import jax
+
+    from cuda_mat_tpu.ops.operators import make_operator
+    from cuda_mat_tpu.solvers.bicgstab import precond_core
+    from cuda_mat_tpu.reference.cpu_solvers import bicgstab_ilu_cpu
+
+    m = ilu0_factorize(mat900)
+    tri = PallasBandedTriSolver.from_factor(mat900, m, block=64,
+                                            dtype=jnp.float64, interpret=True)
+    op = make_operator(mat900, dtype=jnp.float64)
+    b = rng.uniform(1.0, 5.0, 900)
+    x, status, iters, nrmr, nrmr0, hist = precond_core(
+        op.matvec, tri.msolve, jnp.dot, jnp.ones(900), jnp.asarray(b),
+        jnp.float64(1e-6), 2000)
+    ref = bicgstab_ilu_cpu(mat900, b, maxit=2000, tol=1e-6)
+    assert int(status) == 1
+    assert abs(int(iters) - ref.iters) <= 2
