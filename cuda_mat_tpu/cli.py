@@ -58,7 +58,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="default: float64 when x64 is enabled, else float32")
     p.add_argument("--format", choices=["csr", "ell", "dia", "dense"],
                    default=None, help="force an operator format")
-    p.add_argument("--trisolve-block", type=int, default=256)
+    p.add_argument("--trisolve-block", type=int, default=128)
     p.add_argument("--devices", type=int, default=None,
                    help="row-partition across N devices (precond none/jacobi)")
     p.add_argument("--omp-format", action="store_true",

@@ -39,7 +39,7 @@ class SolverConfig:
     # preconditioner: "none" | "jacobi" | "ilu0"
     precond: str = "none"
     # block size for the blocked triangular solve (ILU(0) path)
-    trisolve_block: int = 256
+    trisolve_block: int = 128
 
     def replace(self, **kw) -> "SolverConfig":
         return dataclasses.replace(self, **kw)
