@@ -138,12 +138,9 @@ class CSRMatrix:
     def diagonal(self) -> np.ndarray:
         """Dense main diagonal (zeros where not stored)."""
         d = np.zeros(min(self.n, self.m), dtype=self.data.dtype)
-        for i in range(min(self.n, self.m)):
-            lo, hi = self.indptr[i], self.indptr[i + 1]
-            js = self.indices[lo:hi]
-            k = np.searchsorted(js, i)
-            if k < js.shape[0] and js[k] == i:
-                d[i] = self.data[lo + k]
+        rows = np.repeat(np.arange(self.n), self.row_lengths)
+        on = self.indices == rows
+        d[rows[on]] = self.data[on]
         return d
 
     def matvec(self, x: np.ndarray) -> np.ndarray:
@@ -155,9 +152,8 @@ class CSRMatrix:
 
     def to_dense(self) -> np.ndarray:
         out = np.zeros((self.n, self.m), dtype=self.data.dtype)
-        for i in range(self.n):
-            lo, hi = self.indptr[i], self.indptr[i + 1]
-            out[i, self.indices[lo:hi]] = self.data[lo:hi]
+        rows = np.repeat(np.arange(self.n), self.row_lengths)
+        out[rows, self.indices] = self.data
         return out
 
     def to_coo(self):

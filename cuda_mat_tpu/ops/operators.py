@@ -162,11 +162,17 @@ _register(DenseOperator, ["a"], [])
 
 def make_operator(csr, dtype=jnp.float64, format: Optional[str] = None,
                   max_diags: int = 16, min_dia_density: float = 0.4,
-                  max_ell_expand: float = 4.0):
+                  max_ell_expand: float = 4.0,
+                  dense_budget_bytes: int = 2 << 30):
     """Build the best device operator for a host CSR matrix.
 
     ``format`` forces one of {"csr", "ell", "dia", "dense"}; by default the
-    choice follows the structure heuristics in the class docstrings.
+    choice follows the structure heuristics in the class docstrings — with
+    one TPU-specific twist: unstructured gathers run at ~1 GB/s on the TPU
+    VPU (measured: ELL-gather SpMV at 0.2% of roofline), so on a TPU backend
+    an unstructured matrix whose dense form fits ``dense_budget_bytes``
+    is materialized dense and fed to the MXU — 50x wasteful in bytes but
+    ~300x faster per nonzero than gathering.
     """
     if format is None:
         coo = csr.to_coo()
@@ -174,6 +180,9 @@ def make_operator(csr, dtype=jnp.float64, format: Optional[str] = None,
         if 0 < offs.shape[0] <= max_diags and \
                 csr.nnz >= min_dia_density * offs.shape[0] * csr.n:
             format = "dia"
+        elif (jax.default_backend() == "tpu" and
+              csr.n * csr.m * np.dtype(dtype).itemsize <= dense_budget_bytes):
+            format = "dense"
         else:
             max_row = int(csr.row_lengths.max()) if csr.n else 1
             if csr.n and max_row * csr.n <= max_ell_expand * max(csr.nnz, 1):

@@ -271,6 +271,9 @@ def bicgstab(a, b, config: SolverConfig = DEFAULT_CONFIG,
     else:
         bd = jnp.asarray(b, dt)
         x0d = jnp.ones_like(bd) if x0 is None else jnp.asarray(x0, dt)
+    # dtAlg excludes H2D transfers (reference pbicgstab.h:108-109): force the
+    # operator/vector uploads to finish before starting the solve timer
+    jax.block_until_ready((op, bd, x0d))
     t1 = time.perf_counter()
     out = _hform_solve(op, x0d, bd, jnp.asarray(config.tol, dt),
                        jnp.asarray(config.breakdown_tol, dt), config.maxit,
@@ -294,6 +297,7 @@ def bicgstab_split(a0, d, x0, b, config: SolverConfig = DEFAULT_CONFIG,
     _check_shapes(op, b)
     bd = jnp.asarray(b, dt)
     x0d = jnp.asarray(x0, dt)
+    jax.block_until_ready((op, bd, x0d))
     t1 = time.perf_counter()
     out = _hform_solve(op, x0d, bd, jnp.asarray(config.tol, dt),
                        jnp.asarray(config.breakdown_tol, dt), config.maxit,
@@ -350,6 +354,7 @@ def solve(a, b, config: SolverConfig = DEFAULT_CONFIG,
     else:
         bd = jnp.asarray(b, dt)
         x0d = jnp.ones_like(bd) if x0 is None else jnp.asarray(x0, dt)
+    jax.block_until_ready((op, pre, bd, x0d))
     t1 = time.perf_counter()
     out = _precond_solve(op, pre, x0d, bd, jnp.asarray(config.tol, dt),
                          config.maxit, config.debug)
