@@ -35,6 +35,7 @@ from cuda_mat_tpu.solvers.bicgstab import (
     solve,
 )
 from cuda_mat_tpu.solvers.bicg import bicg
+from cuda_mat_tpu.solvers.refine import solve_refined
 from cuda_mat_tpu.config import SolverConfig, use_x64
 
 __version__ = "0.1.0"
@@ -55,6 +56,7 @@ __all__ = [
     "bicgstab_split",
     "bicgstab_lu_precond",
     "solve",
+    "solve_refined",
     "bicg",
     "SolverConfig",
     "use_x64",

@@ -61,6 +61,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--trisolve-block", type=int, default=128)
     p.add_argument("--devices", type=int, default=None,
                    help="row-partition across N devices (precond none/jacobi)")
+    p.add_argument("--refine", action="store_true",
+                   help="mixed-precision iterative refinement: f32 device "
+                        "solves + f64 host residual correction")
     p.add_argument("--omp-format", action="store_true",
                    help="read -M/-V in the bicstab_omp custom text formats "
                         "instead of Matrix Market")
@@ -175,6 +178,10 @@ def main(argv=None) -> int:
             res = dist_bicgstab(a, b, make_mesh(args.devices), cfg, x0=x0)
         elif args.solver == "bicg":
             res = bicg(a, b, cfg)
+        elif args.refine:
+            from cuda_mat_tpu.solvers.refine import solve_refined
+
+            res = solve_refined(a, b, cfg, x0=x0)
         else:
             res = solve(a, b, cfg, x0=x0)
     t_total = time.perf_counter() - t_total0

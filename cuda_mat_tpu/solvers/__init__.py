@@ -8,6 +8,7 @@ from cuda_mat_tpu.solvers.bicgstab import (
     solve,
 )
 from cuda_mat_tpu.solvers.bicg import bicg
+from cuda_mat_tpu.solvers.refine import solve_refined
 
 __all__ = [
     "SolveResult",
@@ -17,4 +18,5 @@ __all__ = [
     "bicgstab_lu_precond",
     "bicg",
     "solve",
+    "solve_refined",
 ]

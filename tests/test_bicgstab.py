@@ -158,3 +158,35 @@ def test_float32_path(mat900, rng):
     assert res.converged
     r = np.linalg.norm(b - mat900.matvec(res.x)) / np.linalg.norm(b)
     assert r < 1e-2
+
+
+def test_iterative_refinement_reaches_f64_accuracy(mat900, rng):
+    """f32 inner solves + f64 host residual correction must reach a tolerance
+    unreachable by a plain f32 solve."""
+    from cuda_mat_tpu.solvers.refine import solve_refined
+
+    b = rng.uniform(1.0, 5.0, 900)
+    cfg = SolverConfig(maxit=2000, tol=1e-10, precond="jacobi")
+    res = solve_refined(mat900, b, cfg, inner_tol=1e-4)
+    assert res.converged
+    r = np.linalg.norm(b - mat900.matvec(res.x)) / np.linalg.norm(b)
+    assert r < 1e-9
+    # a plain f32 solve's TRUE residual stalls at f32 rounding level (its
+    # recursive residual may claim better — that's exactly the drift
+    # refinement fixes)
+    plain = solve(mat900, b, cfg.replace(dtype="float32"))
+    r_plain = np.linalg.norm(b - mat900.matvec(plain.x.astype(np.float64))) \
+        / np.linalg.norm(b)
+    assert r_plain > r * 10
+
+
+def test_iterative_refinement_mat10000(mat10000):
+    from cuda_mat_tpu.solvers.refine import solve_refined
+
+    b = np.ones(10000)
+    cfg = SolverConfig(maxit=2000, tol=1e-8, precond="ilu0",
+                       trisolve_block=128)
+    res = solve_refined(mat10000, b, cfg, inner_tol=1e-3)
+    assert res.converged
+    r = np.linalg.norm(b - mat10000.matvec(res.x)) / np.linalg.norm(b)
+    assert r < 1e-7
