@@ -59,6 +59,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--format", choices=["csr", "ell", "dia", "dense"],
                    default=None, help="force an operator format")
     p.add_argument("--trisolve-block", type=int, default=128)
+    p.add_argument("--reorder", choices=["none", "rcm"], default="none",
+                   help="bandwidth-reducing reordering (RCM) before the "
+                        "solve; x is scattered back to the input ordering")
     p.add_argument("--devices", type=int, default=None,
                    help="row-partition across N devices (precond none/jacobi)")
     p.add_argument("--refine", action="store_true",
@@ -150,7 +153,8 @@ def main(argv=None) -> int:
 
     cfg = SolverConfig(maxit=args.maxit, tol=args.tol, debug=args.debug,
                        dtype=args.dtype, precond=args.precond,
-                       trisolve_block=args.trisolve_block)
+                       trisolve_block=args.trisolve_block,
+                       reorder=args.reorder)
 
     x0 = None
     if args.resume:

@@ -40,6 +40,12 @@ class SolverConfig:
     precond: str = "none"
     # block size for the blocked triangular solve (ILU(0) path)
     trisolve_block: int = 128
+    # bandwidth-reducing reordering applied before the solve:
+    # "none" (default — preserves the reference trajectory exactly) | "rcm"
+    # (reverse Cuthill–McKee; makes badly-ordered banded-able matrices
+    # eligible for the no-gather DIA/Pallas SpMV path).  The solution is
+    # scattered back to the original ordering, so x is exact either way.
+    reorder: str = "none"
 
     def replace(self, **kw) -> "SolverConfig":
         return dataclasses.replace(self, **kw)

@@ -93,6 +93,82 @@ def _banded_sweep(f: jax.Array, wt: jax.Array, wct: jax.Array, block: int,
     return out.reshape(npad)
 
 
+def _fused_kernel(f_ref, wtlo_ref, wctlo_ref, wtup_ref, wctup_ref, x_ref,
+                  prev, ys, *, nb):
+    """Fused L-then-U sweep: grid steps [0, nb) run the forward (lower)
+    recurrence, buffering every y block in the VMEM scratch ``ys``; steps
+    [nb, 2nb) run the backward (upper) recurrence off that buffer.  ``prev``
+    carries y_{b-1} in the first half and x_{b+1} in the second (reset by the
+    ``where`` at the half boundaries)."""
+    s = pl.program_id(0)
+    dt = f_ref.dtype
+    hi = jax.lax.Precision.HIGHEST  # see _sweep_kernel on why not MXU-bf16
+
+    @pl.when(s < nb)
+    def _forward():
+        pv = jnp.where(s == 0, jnp.zeros_like(prev), prev[...])
+        y = (jnp.dot(f_ref[0], wtlo_ref[0], preferred_element_type=dt,
+                     precision=hi)
+             - jnp.dot(pv, wctlo_ref[0], preferred_element_type=dt,
+                       precision=hi))
+        ys[pl.ds(s, 1), :] = y
+        prev[...] = y
+        x_ref[0] = y  # dummy flush; overwritten by the backward visit
+
+    @pl.when(s >= nb)
+    def _backward():
+        b = 2 * nb - 1 - s
+        pv = jnp.where(s == nb, jnp.zeros_like(prev), prev[...])
+        x = (jnp.dot(ys[pl.ds(b, 1), :], wtup_ref[0],
+                     preferred_element_type=dt, precision=hi)
+             - jnp.dot(pv, wctup_ref[0], preferred_element_type=dt,
+                       precision=hi))
+        x_ref[0] = x
+        prev[...] = x
+
+
+@partial(jax.jit, static_argnames=("block", "interpret"))
+def _fused_msolve(f: jax.Array, wt_lo, wct_lo, wt_up, wct_up, block: int,
+                  interpret: bool = False) -> jax.Array:
+    """Both triangular sweeps of ``M⁻¹f = U \\ (L \\ f)`` in ONE pallas_call
+    (2·nb sequential grid steps); the intermediate y never touches HBM."""
+    nb = wt_lo.shape[0]
+    f3 = f.reshape(nb, 1, block)
+
+    def fwd_map(s):
+        return (jnp.minimum(s, nb - 1), 0, 0)
+
+    def bwd_map(s):
+        return (jnp.where(s < nb, 0, 2 * nb - 1 - s), 0, 0)
+
+    def out_map(s):
+        return (jnp.where(s < nb, s, 2 * nb - 1 - s), 0, 0)
+
+    out = pl.pallas_call(
+        partial(_fused_kernel, nb=nb),
+        grid=(2 * nb,),
+        in_specs=[
+            pl.BlockSpec((1, 1, block), fwd_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block, block), fwd_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block, block), fwd_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block, block), bwd_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block, block), bwd_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block), out_map,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, 1, block), f.dtype),
+        scratch_shapes=[pltpu.VMEM((1, block), f.dtype),
+                        pltpu.VMEM((nb, block), f.dtype)],
+        interpret=interpret,
+    )(f3, wt_lo, wct_lo, wt_up, wct_up)
+    return out.reshape(nb * block)
+
+
+# cap on the fused kernel's y scratch (VMEM is ~16 MB/core; leave room for
+# the double-buffered (B,B) operand pipeline)
+_FUSED_VMEM_BUDGET = 4 << 20
+
+
 @dataclasses.dataclass(frozen=True)
 class PallasBandedTriSolver:
     """Banded ILU(0) triangular-solve pair as two single-launch kernels."""
@@ -171,7 +247,14 @@ class PallasBandedTriSolver:
         return x[: self.n]
 
     def msolve(self, f: jax.Array) -> jax.Array:
-        """``M⁻¹ f = U \\ (L \\ f)`` — two kernel launches total."""
+        """``M⁻¹ f = U \\ (L \\ f)`` — one fused kernel launch when the
+        intermediate-y scratch fits VMEM, else two single-sweep launches."""
+        nb = self.wt_lo.shape[0]
+        if nb * self.block * jnp.dtype(f.dtype).itemsize <= _FUSED_VMEM_BUDGET:
+            x = _fused_msolve(self._pad(f), self.wt_lo, self.wct_lo,
+                              self.wt_up, self.wct_up, self.block,
+                              self.interpret)
+            return x[: self.n]
         return self.solve_upper(self.solve_lower(f))
 
 

@@ -256,11 +256,36 @@ def _finish(x, status, iters, nrmr, nrmr0, hist, t_alg, t_setup, maxit
         dt_setup=t_setup, residual_history=np.asarray(hist))
 
 
+def _reordered(solver, a, b, config, x0, format) -> Optional[SolveResult]:
+    """Run ``solver`` on the RCM-permuted system and scatter x back (exact;
+    see formats/reorder.py).  Returns None when no reordering is requested or
+    ``a`` is already a device operator."""
+    import dataclasses as _dc
+
+    if config.reorder in (None, "none") or not isinstance(a, CSRMatrix):
+        return None
+    if config.reorder != "rcm":
+        raise ValueError(f"unknown reorder {config.reorder!r}")
+    from cuda_mat_tpu.formats.reorder import (permute_csr, permute_vector,
+                                              rcm_permutation,
+                                              unpermute_vector)
+
+    perm = rcm_permutation(a)
+    res = solver(permute_csr(a, perm), permute_vector(b, perm),
+                 config.replace(reorder="none"),
+                 x0=None if x0 is None else permute_vector(x0, perm),
+                 format=format)
+    return _dc.replace(res, x=unpermute_vector(res.x, perm))
+
+
 def bicgstab(a, b, config: SolverConfig = DEFAULT_CONFIG,
              x0: Optional[np.ndarray] = None, format: Optional[str] = None
              ) -> SolveResult:
     """Plain BiCGSTAB on CSR, x0 = all-ones by default (reference wrapper
     pbicgstab.cu:756-922, x0 init at :827-832)."""
+    re = _reordered(bicgstab, a, b, config, x0, format)
+    if re is not None:
+        return re
     dt = _dtype_of(config)
     t0 = time.perf_counter()
     op = _as_op(a, dt, format)
@@ -324,6 +349,9 @@ def solve(a, b, config: SolverConfig = DEFAULT_CONFIG,
     none/jacobi/ilu0."""
     if config.precond in (None, "none", "identity"):
         return bicgstab(a, b, config, x0=x0, format=format)
+    re = _reordered(solve, a, b, config, x0, format)
+    if re is not None:
+        return re
     dt = _dtype_of(config)
     t0 = time.perf_counter()
     op = _as_op(a, dt, format)
