@@ -112,6 +112,59 @@ _register(DIAOperator, ["data"], ["offsets", "m"])
 
 
 @dataclasses.dataclass(frozen=True)
+class BELLOperator:
+    """Blocked-ELL SpMV: BSR rows padded to a uniform ``kmax`` blocks, so the
+    contraction is one block-granular gather + a batched (bs,bs)@(bs,) matmul
+    — MXU-shaped work instead of element gathers (the TPU answer to
+    fine-grained unstructured sparsity when the matrix has dense sub-blocks).
+
+        y_r = sum_k  values[r, k] @ xb[cols[r, k]]
+
+    The gather moves whole ``bs``-element rows of ``xb`` (contiguous, lane
+    aligned for bs >= 128), which the TPU handles ~2 orders of magnitude
+    better than per-element gathers.  Padding blocks are all-zero and point
+    at block-column 0.
+    """
+
+    values: jax.Array   # [nbr, kmax, bs, bs]
+    cols: jax.Array     # int32[nbr, kmax]
+    n: int              # static true rows
+    m: int              # static true cols
+
+    @property
+    def bs(self) -> int:
+        return self.values.shape[-1]
+
+    @classmethod
+    def from_csr(cls, csr, bs: int = 128, dtype=jnp.float32
+                 ) -> "BELLOperator":
+        bsr = csr.to_bsr(block=bs)
+        nbr = bsr.nbrows
+        counts = np.diff(bsr.indptr)
+        kmax = max(int(counts.max()) if nbr else 1, 1)
+        values = np.zeros((nbr, kmax, bs, bs), dtype=np.dtype(dtype))
+        cols = np.zeros((nbr, kmax), dtype=np.int32)
+        rows_of_block = np.repeat(np.arange(nbr), counts)
+        pos = np.arange(len(bsr.indices)) - bsr.indptr[rows_of_block]
+        values[rows_of_block, pos] = bsr.blocks
+        cols[rows_of_block, pos] = bsr.indices
+        return cls(jnp.asarray(values), jnp.asarray(cols), csr.n, csr.m)
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        bs = self.bs
+        nbc = -(-self.m // bs)
+        xp = jnp.zeros(nbc * bs, x.dtype).at[: self.m].set(x[: self.m])
+        xb = xp.reshape(nbc, bs)
+        xg = jnp.take(xb, self.cols, axis=0)        # [nbr, kmax, bs]
+        y = jnp.einsum("rkab,rkb->ra", self.values, xg,
+                       preferred_element_type=x.dtype)
+        return y.reshape(-1)[: self.n]
+
+
+_register(BELLOperator, ["values", "cols"], ["n", "m"])
+
+
+@dataclasses.dataclass(frozen=True)
 class SplitOperator:
     """Fused split-form operator ``A = A0 + diag(d)``:
     ``matvec(x) = d∘x + A0·x`` in one trace (reference's mult_spec + csrmv
@@ -166,7 +219,7 @@ def make_operator(csr, dtype=jnp.float64, format: Optional[str] = None,
                   dense_budget_bytes: int = 2 << 30):
     """Build the best device operator for a host CSR matrix.
 
-    ``format`` forces one of {"csr", "ell", "dia", "dense"}; by default the
+    ``format`` forces one of {"csr", "ell", "dia", "bell", "dense"}; by default the
     choice follows the structure heuristics in the class docstrings — with
     one TPU-specific twist: unstructured gathers run at ~1 GB/s on the TPU
     VPU (measured: ELL-gather SpMV at 0.2% of roofline), so on a TPU backend
@@ -180,15 +233,29 @@ def make_operator(csr, dtype=jnp.float64, format: Optional[str] = None,
         if 0 < offs.shape[0] <= max_diags and \
                 csr.nnz >= min_dia_density * offs.shape[0] * csr.n:
             format = "dia"
-        elif (jax.default_backend() == "tpu" and
-              csr.n * csr.m * np.dtype(dtype).itemsize <= dense_budget_bytes):
-            format = "dense"
-        else:
+        elif jax.default_backend() == "tpu":
+            # gathers are ~400x off roofline on the TPU VPU; prefer MXU-shaped
+            # work: block-sparse (BELL) when the nnz cluster into 128x128
+            # blocks covering <= 1/4 of the dense grid, else dense when it
+            # fits the budget, else fall through to the gather formats
+            bs = 128
+            nbr, nbc = -(-csr.n // bs), -(-csr.m // bs)
+            nblocks = np.unique((coo.rows.astype(np.int64) // bs) * nbc
+                                + coo.cols.astype(np.int64) // bs).shape[0]
+            bell_bytes = nblocks * bs * bs * np.dtype(dtype).itemsize
+            if (nblocks <= 0.25 * nbr * nbc
+                    and bell_bytes <= dense_budget_bytes):
+                format = "bell"
+            elif csr.n * csr.m * np.dtype(dtype).itemsize <= dense_budget_bytes:
+                format = "dense"
+        if format is None:
             max_row = int(csr.row_lengths.max()) if csr.n else 1
             if csr.n and max_row * csr.n <= max_ell_expand * max(csr.nnz, 1):
                 format = "ell"
             else:
                 format = "csr"
+    if format == "bell":
+        return BELLOperator.from_csr(csr, dtype=dtype)
     if format == "dense":
         return DenseOperator(jnp.asarray(csr.to_dense(), dtype=dtype))
     if format == "dia":

@@ -180,6 +180,7 @@ class PallasBandedTriSolver:
     n: int             # static true dimension
     block: int         # static
     interpret: bool = False
+    fused: bool = False  # single-launch L+U msolve (see msolve docstring)
 
     @property
     def npad(self) -> int:
@@ -247,10 +248,17 @@ class PallasBandedTriSolver:
         return x[: self.n]
 
     def msolve(self, f: jax.Array) -> jax.Array:
-        """``M⁻¹ f = U \\ (L \\ f)`` — one fused kernel launch when the
-        intermediate-y scratch fits VMEM, else two single-sweep launches."""
+        """``M⁻¹ f = U \\ (L \\ f)``.
+
+        Default: two single-sweep launches.  ``fused=True`` runs both sweeps
+        in ONE pallas_call (requires the intermediate-y scratch to fit VMEM)
+        — measured *slightly slower* on TPU v5e (0.342 vs 0.303 ms/apply on
+        mat10000 B=128: the forward half's dummy output flushes and the
+        second operand pipeline outweigh the saved launch), kept as an option
+        since the trade-off is size-dependent."""
         nb = self.wt_lo.shape[0]
-        if nb * self.block * jnp.dtype(f.dtype).itemsize <= _FUSED_VMEM_BUDGET:
+        if self.fused and (nb * self.block * jnp.dtype(f.dtype).itemsize
+                           <= _FUSED_VMEM_BUDGET):
             x = _fused_msolve(self._pad(f), self.wt_lo, self.wct_lo,
                               self.wt_up, self.wct_up, self.block,
                               self.interpret)
@@ -261,4 +269,4 @@ class PallasBandedTriSolver:
 jax.tree_util.register_dataclass(
     PallasBandedTriSolver,
     data_fields=["wt_lo", "wct_lo", "wt_up", "wct_up"],
-    meta_fields=["n", "block", "interpret"])
+    meta_fields=["n", "block", "interpret", "fused"])

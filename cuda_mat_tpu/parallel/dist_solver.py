@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import time
 from functools import partial
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -60,6 +60,49 @@ def _make_local_matvec(offsets, halo, shard_rows, ndev, axis=ROWS_AXIS):
     return matvec
 
 
+def _pallas_blocks(w: int, interpret: bool) -> Tuple[int, int]:
+    """(block, sub) for the per-shard Pallas DIA kernel: ``sub`` must cover
+    the bandwidth and satisfy Mosaic's 1024-element DMA alignment on real
+    TPUs (relaxed to 8 in interpret mode so CPU-mesh tests stay small)."""
+    unit = 8 if interpret else 1024
+    sub = -(-max(w, 1) // unit) * unit
+    base = 32 if interpret else 4096
+    block = -(-max(base, sub) // sub) * sub
+    return block, sub
+
+
+def _make_local_matvec_pallas(offsets, halo, shard_rows, ndev, axis,
+                              block, sub, interpret):
+    """Per-shard banded matvec: neighbor ``ppermute`` halos scattered into the
+    Pallas block-halo padded layout, local block multiplied by the
+    :func:`cuda_mat_tpu.ops.pallas_spmv.dia_spmv_block_padded` kernel (the
+    ROADMAP 'per-shard Pallas SpMV inside shard_map' item).  The halo values
+    land in the tail/head of the zero pad blocks — exactly where the kernel's
+    shifted window reads them."""
+    from cuda_mat_tpu.ops.pallas_spmv import dia_spmv_block_padded
+
+    assert shard_rows % block == 0 and block % sub == 0
+    w = halo
+    send_right = [(i, i + 1) for i in range(ndev - 1)]
+    send_left = [(i + 1, i) for i in range(ndev - 1)]
+
+    def matvec(data_local, xl):
+        x_pad = jnp.zeros(shard_rows + 2 * block, xl.dtype)
+        x_pad = jax.lax.dynamic_update_slice(x_pad, xl, (block,))
+        if w > 0 and ndev > 1:
+            left_halo = jax.lax.ppermute(xl[-w:], axis, send_right)
+            right_halo = jax.lax.ppermute(xl[:w], axis, send_left)
+            x_pad = jax.lax.dynamic_update_slice(x_pad, left_halo,
+                                                 (block - w,))
+            x_pad = jax.lax.dynamic_update_slice(x_pad, right_halo,
+                                                 (block + shard_rows,))
+        y_pad = dia_spmv_block_padded(data_local, x_pad, tuple(offsets),
+                                      block, sub, interpret)
+        return jax.lax.dynamic_slice(y_pad, (block,), (shard_rows,))
+
+    return matvec
+
+
 def _psum_dot(axis=ROWS_AXIS):
     def dot(u, v):
         return jax.lax.psum(jnp.dot(u, v), axis)
@@ -67,8 +110,13 @@ def _psum_dot(axis=ROWS_AXIS):
     return dot
 
 
-def make_dist_spmv(part: RowPartitionedBanded, mesh: Mesh, dtype=jnp.float32):
+def make_dist_spmv(part: RowPartitionedBanded, mesh: Mesh, dtype=jnp.float32,
+                   local_engine: str = "xla", interpret: bool = False):
     """Jitted distributed SpMV ``y = A x`` over sharded (npad,) vectors.
+
+    ``local_engine``: "xla" = shifted dynamic-slice formulation; "pallas" =
+    the block-halo Pallas kernel per shard (build ``part`` with
+    ``align=_pallas_blocks(w, interpret)[0]``).
 
     Returns ``(fn, put)`` where ``put(v)`` shards a host vector and
     ``fn(x_sharded)`` computes the product (used by tests and the weak-scaling
@@ -77,12 +125,18 @@ def make_dist_spmv(part: RowPartitionedBanded, mesh: Mesh, dtype=jnp.float32):
     vec_sharding = NamedSharding(mesh, P(axis))
     data = jax.device_put(jnp.asarray(part.data, dtype),
                           NamedSharding(mesh, P(None, axis)))
-    local_mv = _make_local_matvec(part.offsets, part.halo, part.shard_rows,
-                                  part.ndev, axis)
+    if local_engine == "pallas":
+        blk, sub = _pallas_blocks(part.halo, interpret)
+        local_mv = _make_local_matvec_pallas(part.offsets, part.halo,
+                                             part.shard_rows, part.ndev, axis,
+                                             blk, sub, interpret)
+    else:
+        local_mv = _make_local_matvec(part.offsets, part.halo,
+                                      part.shard_rows, part.ndev, axis)
 
     @jax.jit
     @partial(shard_map, mesh=mesh, in_specs=(P(None, axis), P(axis)),
-             out_specs=P(axis))
+             out_specs=P(axis), check_vma=False)  # pallas_call has no vma
     def spmv(data_l, xl):
         return local_mv(data_l, xl)
 
@@ -93,10 +147,16 @@ def make_dist_spmv(part: RowPartitionedBanded, mesh: Mesh, dtype=jnp.float32):
     return (lambda x: spmv(data, x)), put
 
 
-def dist_spmv(a, x: np.ndarray, mesh: Mesh, dtype=jnp.float64) -> np.ndarray:
+def dist_spmv(a, x: np.ndarray, mesh: Mesh, dtype=jnp.float64,
+              local_engine: str = "xla", interpret: bool = False
+              ) -> np.ndarray:
     """One-shot distributed SpMV for a host matrix/vector (convenience)."""
-    part = RowPartitionedBanded.from_matrix(a, mesh.devices.size)
-    fn, put = make_dist_spmv(part, mesh, dtype)
+    align = 1
+    if local_engine == "pallas":
+        dia = a.to_dia() if hasattr(a, "to_dia") else a
+        align = _pallas_blocks(dia.bandwidth, interpret)[0]
+    part = RowPartitionedBanded.from_matrix(a, mesh.devices.size, align=align)
+    fn, put = make_dist_spmv(part, mesh, dtype, local_engine, interpret)
     y = fn(put(x))
     return part.unpad_vector(np.asarray(y))
 
@@ -104,7 +164,8 @@ def dist_spmv(a, x: np.ndarray, mesh: Mesh, dtype=jnp.float64) -> np.ndarray:
 def dist_bicgstab(a, b: np.ndarray, mesh: Mesh,
                   config: SolverConfig = DEFAULT_CONFIG,
                   x0: Optional[np.ndarray] = None,
-                  halo_mode: str = "auto") -> SolveResult:
+                  halo_mode: str = "auto",
+                  local_engine: str = "auto") -> SolveResult:
     """Row-partitioned BiCGSTAB over the mesh.
 
     ``config.precond``: "none" runs the h-form loop (parity with
@@ -118,16 +179,28 @@ def dist_bicgstab(a, b: np.ndarray, mesh: Mesh,
     ``halo_mode``: "auto" picks neighbor-ppermute halos for banded matrices
     and an all-gather of x for general sparsity; "ppermute"/"allgather" force
     one (SURVEY §5 "ppermute/all-gather for halo x segments").
+
+    ``local_engine``: the per-shard banded SpMV — "xla" (shifted
+    dynamic-slices), "pallas" (block-halo Pallas kernel, interpreted off-TPU),
+    or "auto" (pallas on a TPU backend).
     """
     t0 = time.perf_counter()
     dt = jnp.dtype(config.dtype)
     axis = mesh.axis_names[0]
     ndev = mesh.devices.size
+    if local_engine == "auto":
+        local_engine = "pallas" if jax.default_backend() == "tpu" else "xla"
+    interpret = jax.default_backend() != "tpu"
 
     banded = None
     if halo_mode in ("auto", "ppermute"):
         try:
-            part = RowPartitionedBanded.from_matrix(a, ndev)
+            if local_engine == "pallas":
+                dia = a.to_dia() if hasattr(a, "to_dia") else a
+                blk, sub = _pallas_blocks(dia.bandwidth, interpret)
+                part = RowPartitionedBanded.from_matrix(a, ndev, align=blk)
+            else:
+                part = RowPartitionedBanded.from_matrix(a, ndev)
             banded = True
         except ValueError:
             if halo_mode == "ppermute":
@@ -143,8 +216,13 @@ def dist_bicgstab(a, b: np.ndarray, mesh: Mesh,
         mat_args = (jax.device_put(jnp.asarray(part.data, dt),
                                    NamedSharding(mesh, P(None, axis))),)
         mat_specs = (P(None, axis),)
-        local_mv_banded = _make_local_matvec(part.offsets, part.halo,
-                                             part.shard_rows, ndev, axis)
+        if local_engine == "pallas":
+            local_mv_banded = _make_local_matvec_pallas(
+                part.offsets, part.halo, part.shard_rows, ndev, axis,
+                blk, sub, interpret)
+        else:
+            local_mv_banded = _make_local_matvec(part.offsets, part.halo,
+                                                 part.shard_rows, ndev, axis)
 
         def make_mv(mat_l):
             return lambda xl: local_mv_banded(mat_l[0], xl)

@@ -36,11 +36,15 @@ class RowPartitionedBanded:
     data: np.ndarray       # [ndiag, npad] row-aligned, padded rows = identity
 
     @classmethod
-    def from_matrix(cls, a, ndev: int) -> "RowPartitionedBanded":
+    def from_matrix(cls, a, ndev: int, align: int = 1
+                    ) -> "RowPartitionedBanded":
+        """``align``: round shard_rows up to a multiple (the per-shard Pallas
+        SpMV kernel needs shard_rows divisible by its block size)."""
         dia = a.to_dia() if isinstance(a, CSRMatrix) else a
         assert isinstance(dia, DIAMatrix)
         n = dia.n
         shard_rows = -(-n // ndev)
+        shard_rows = -(-shard_rows // align) * align
         npad = shard_rows * ndev
         w = dia.bandwidth
         if w > shard_rows:

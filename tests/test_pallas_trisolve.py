@@ -46,12 +46,14 @@ def test_rejects_band_wider_than_block(mat900):
 def test_fused_msolve_matches_two_launch(mat900, rng):
     """The single-launch fused L+U kernel == solve_upper(solve_lower(f))
     (same blocked recurrence, intermediate y kept in VMEM scratch)."""
+    import dataclasses
+
     m = ilu0_factorize(mat900)
     tri = PallasBandedTriSolver.from_factor(mat900, m, block=64,
                                             dtype=jnp.float64, interpret=True)
     f = jnp.asarray(rng.standard_normal(900))
-    fused = np.asarray(tri.msolve(f))
-    two = np.asarray(tri.solve_upper(tri.solve_lower(f)))
+    fused = np.asarray(dataclasses.replace(tri, fused=True).msolve(f))
+    two = np.asarray(tri.msolve(f))
     np.testing.assert_allclose(fused, two, rtol=1e-12, atol=1e-12)
 
 
