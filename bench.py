@@ -81,7 +81,7 @@ def main():
     if backend == "tpu":
         from cuda_mat_tpu.ops.pallas_spmv import PallasDIAOperator
 
-        op = PallasDIAOperator.from_dia(dia, block=16384)
+        op = PallasDIAOperator.from_dia(dia, block=32768)
         x = op.pad_vec(jnp.ones((n,), jnp.float32))
     else:
         op = DIAOperator(jnp.asarray(dia.data),

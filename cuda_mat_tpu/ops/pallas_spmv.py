@@ -144,7 +144,7 @@ class PallasDIAOperator:
         return self.data.shape[1]
 
     @classmethod
-    def from_dia(cls, dia, dtype=jnp.float32, block: int = 16384,
+    def from_dia(cls, dia, dtype=jnp.float32, block: int = 32768,
                  data_dtype=None, interpret: bool = False
                  ) -> "PallasDIAOperator":
         offsets = tuple(int(o) for o in dia.offsets)

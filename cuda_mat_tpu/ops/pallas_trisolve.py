@@ -44,7 +44,11 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _sweep_kernel(f_ref, wt_ref, wct_ref, y_ref, prev):
+def _sweep_kernel(f_ref, wt_ref, wct_ref, y_ref, prev, *, unroll, forward):
+    """One grid step processes ``unroll`` consecutive blocks of the sequential
+    recurrence (python-unrolled in-kernel): TPU grid steps cost ~2 us each in
+    pipeline bookkeeping while the per-block matmuls are ~1 us of bandwidth,
+    so fewer/bigger steps is the whole game."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -55,37 +59,48 @@ def _sweep_kernel(f_ref, wt_ref, wct_ref, y_ref, prev):
     # precision=HIGHEST: the MXU's native bf16 pass truncates f32 operands,
     # which visibly weakens the preconditioner (mat10000: 28 -> 64 iters);
     # the 3-pass f32 emulation restores it and the sweep stays bandwidth-bound
-    y = (jnp.dot(f_ref[0], wt_ref[0], preferred_element_type=dt,
-                 precision=jax.lax.Precision.HIGHEST)
-         - jnp.dot(prev[...], wct_ref[0], preferred_element_type=dt,
-                   precision=jax.lax.Precision.HIGHEST))
-    y_ref[0] = y
-    prev[...] = y
+    hi = jax.lax.Precision.HIGHEST
+    for u in range(unroll):
+        j = u if forward else unroll - 1 - u
+        y = (jnp.dot(f_ref[j], wt_ref[j], preferred_element_type=dt,
+                     precision=hi)
+             - jnp.dot(prev[...], wct_ref[j], preferred_element_type=dt,
+                       precision=hi))
+        y_ref[j] = y
+        prev[...] = y
 
 
-@partial(jax.jit, static_argnames=("block", "forward", "interpret"))
+@partial(jax.jit, static_argnames=("block", "forward", "unroll", "interpret"))
 def _banded_sweep(f: jax.Array, wt: jax.Array, wct: jax.Array, block: int,
-                  forward: bool, interpret: bool = False) -> jax.Array:
+                  forward: bool, unroll: int = 1,
+                  interpret: bool = False) -> jax.Array:
     """One triangular sweep: f [nb*B] → y [nb*B], forward (lower factor) or
-    backward (upper factor) over the blocks."""
+    backward (upper factor) over the blocks; ``unroll`` blocks per grid step
+    (requires nb % unroll == 0 — from_factor pads with identity blocks)."""
     nb = wt.shape[0]
     npad = nb * block
+    assert nb % unroll == 0
+    g = nb // unroll
     # vectors as (nb, 1, block): the last two block dims (1, block) match the
     # full array dims, satisfying Mosaic's sublane/lane tiling rules
     f3 = f.reshape(nb, 1, block)
 
     def vmap_(i):
-        return (i, 0, 0) if forward else (nb - 1 - i, 0, 0)
+        return (i, 0, 0) if forward else (g - 1 - i, 0, 0)
 
+    kernel = partial(_sweep_kernel, unroll=unroll, forward=forward)
     out = pl.pallas_call(
-        _sweep_kernel,
-        grid=(nb,),
+        kernel,
+        grid=(g,),
         in_specs=[
-            pl.BlockSpec((1, 1, block), vmap_, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block, block), vmap_, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block, block), vmap_, memory_space=pltpu.VMEM),
+            pl.BlockSpec((unroll, 1, block), vmap_, memory_space=pltpu.VMEM),
+            pl.BlockSpec((unroll, block, block), vmap_,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((unroll, block, block), vmap_,
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, block), vmap_, memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((unroll, 1, block), vmap_,
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nb, 1, block), f.dtype),
         scratch_shapes=[pltpu.VMEM((1, block), f.dtype)],
         interpret=interpret,
@@ -94,67 +109,81 @@ def _banded_sweep(f: jax.Array, wt: jax.Array, wct: jax.Array, block: int,
 
 
 def _fused_kernel(f_ref, wtlo_ref, wctlo_ref, wtup_ref, wctup_ref, x_ref,
-                  prev, ys, *, nb):
-    """Fused L-then-U sweep: grid steps [0, nb) run the forward (lower)
-    recurrence, buffering every y block in the VMEM scratch ``ys``; steps
-    [nb, 2nb) run the backward (upper) recurrence off that buffer.  ``prev``
-    carries y_{b-1} in the first half and x_{b+1} in the second (reset by the
-    ``where`` at the half boundaries)."""
+                  prev, ys, *, g, unroll):
+    """Fused L-then-U sweep: grid steps [0, g) run the forward (lower)
+    recurrence over ``unroll`` blocks each, buffering every y block in the
+    VMEM scratch ``ys``; steps [g, 2g) run the backward (upper) recurrence
+    off that buffer.  ``prev`` carries y_{b-1} in the first half and x_{b+1}
+    in the second (reset by the ``where`` at the half boundaries)."""
     s = pl.program_id(0)
     dt = f_ref.dtype
     hi = jax.lax.Precision.HIGHEST  # see _sweep_kernel on why not MXU-bf16
 
-    @pl.when(s < nb)
+    @pl.when(s < g)
     def _forward():
         pv = jnp.where(s == 0, jnp.zeros_like(prev), prev[...])
-        y = (jnp.dot(f_ref[0], wtlo_ref[0], preferred_element_type=dt,
-                     precision=hi)
-             - jnp.dot(pv, wctlo_ref[0], preferred_element_type=dt,
-                       precision=hi))
-        ys[pl.ds(s, 1), :] = y
-        prev[...] = y
-        x_ref[0] = y  # dummy flush; overwritten by the backward visit
+        for u in range(unroll):
+            y = (jnp.dot(f_ref[u], wtlo_ref[u], preferred_element_type=dt,
+                         precision=hi)
+                 - jnp.dot(pv, wctlo_ref[u], preferred_element_type=dt,
+                           precision=hi))
+            ys[pl.ds(s * unroll + u, 1), :] = y
+            x_ref[u] = y  # dummy flush; overwritten by the backward visit
+            pv = y
+        prev[...] = pv
 
-    @pl.when(s >= nb)
+    @pl.when(s >= g)
     def _backward():
-        b = 2 * nb - 1 - s
-        pv = jnp.where(s == nb, jnp.zeros_like(prev), prev[...])
-        x = (jnp.dot(ys[pl.ds(b, 1), :], wtup_ref[0],
-                     preferred_element_type=dt, precision=hi)
-             - jnp.dot(pv, wctup_ref[0], preferred_element_type=dt,
-                       precision=hi))
-        x_ref[0] = x
-        prev[...] = x
+        bb = (2 * g - 1 - s) * unroll  # first block of this step's group
+        pv = jnp.where(s == g, jnp.zeros_like(prev), prev[...])
+        for u in range(unroll - 1, -1, -1):
+            x = (jnp.dot(ys[pl.ds(bb + u, 1), :], wtup_ref[u],
+                         preferred_element_type=dt, precision=hi)
+                 - jnp.dot(pv, wctup_ref[u], preferred_element_type=dt,
+                           precision=hi))
+            x_ref[u] = x
+            pv = x
+        prev[...] = pv
 
 
-@partial(jax.jit, static_argnames=("block", "interpret"))
+@partial(jax.jit, static_argnames=("block", "unroll", "interpret"))
 def _fused_msolve(f: jax.Array, wt_lo, wct_lo, wt_up, wct_up, block: int,
-                  interpret: bool = False) -> jax.Array:
+                  unroll: int = 1, interpret: bool = False) -> jax.Array:
     """Both triangular sweeps of ``M⁻¹f = U \\ (L \\ f)`` in ONE pallas_call
-    (2·nb sequential grid steps); the intermediate y never touches HBM."""
+    (2·nb/unroll sequential grid steps); the intermediate y never touches
+    HBM.  Measured (TPU v5e, mat10000 B=128): inside a solver while_loop the
+    single launch beats two per application by ~0.25 ms/iteration even
+    though a chained micro-bench slightly favors two launches."""
     nb = wt_lo.shape[0]
+    assert nb % unroll == 0
+    g = nb // unroll
     f3 = f.reshape(nb, 1, block)
 
     def fwd_map(s):
-        return (jnp.minimum(s, nb - 1), 0, 0)
+        return (jnp.minimum(s, g - 1), 0, 0)
 
     def bwd_map(s):
-        return (jnp.where(s < nb, 0, 2 * nb - 1 - s), 0, 0)
+        return (jnp.where(s < g, 0, 2 * g - 1 - s), 0, 0)
 
     def out_map(s):
-        return (jnp.where(s < nb, s, 2 * nb - 1 - s), 0, 0)
+        return (jnp.where(s < g, s, 2 * g - 1 - s), 0, 0)
 
     out = pl.pallas_call(
-        partial(_fused_kernel, nb=nb),
-        grid=(2 * nb,),
+        partial(_fused_kernel, g=g, unroll=unroll),
+        grid=(2 * g,),
         in_specs=[
-            pl.BlockSpec((1, 1, block), fwd_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block, block), fwd_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block, block), fwd_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block, block), bwd_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block, block), bwd_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((unroll, 1, block), fwd_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((unroll, block, block), fwd_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((unroll, block, block), fwd_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((unroll, block, block), bwd_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((unroll, block, block), bwd_map,
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, block), out_map,
+        out_specs=pl.BlockSpec((unroll, 1, block), out_map,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nb, 1, block), f.dtype),
         scratch_shapes=[pltpu.VMEM((1, block), f.dtype),
@@ -179,8 +208,9 @@ class PallasBandedTriSolver:
     wct_up: jax.Array  # [nb, B, B] transposed (W_b C_b), C = coupling to next
     n: int             # static true dimension
     block: int         # static
+    unroll: int = 1    # blocks per grid step (see _sweep_kernel)
     interpret: bool = False
-    fused: bool = False  # single-launch L+U msolve (see msolve docstring)
+    fused: bool = True  # single-launch L+U msolve (see msolve docstring)
 
     @property
     def npad(self) -> int:
@@ -188,11 +218,13 @@ class PallasBandedTriSolver:
 
     @classmethod
     def from_factor(cls, csr, mvals: np.ndarray, block: int = 128,
-                    dtype=jnp.float32,
+                    dtype=jnp.float32, unroll: int = 4,
                     interpret: bool = False) -> "PallasBandedTriSolver":
         """Build from a CSR combined ILU(0) factor (strict lower = L with
         unit diagonal, diag + upper = U; same convention as ops.trisolve).
-        Requires bandwidth <= block on both sides."""
+        Requires bandwidth <= block on both sides.  ``nb`` is padded to a
+        multiple of ``unroll`` with identity blocks (W=I, WC=0), which keep
+        the padded y/x region exactly zero in both sweep directions."""
         n = csr.n
         rows = np.repeat(np.arange(n, dtype=np.int64), csr.row_lengths)
         cols = csr.indices.astype(np.int64)
@@ -201,6 +233,8 @@ class PallasBandedTriSolver:
             raise ValueError(
                 f"bandwidth {max(-offs.min(), offs.max())} exceeds block {block}")
         nb = -(-n // block)
+        unroll = max(1, min(unroll, nb))
+        nb = -(-nb // unroll) * unroll
 
         lo_diag = np.tile(np.eye(block), (nb, 1, 1))
         up_diag = np.tile(np.eye(block), (nb, 1, 1))
@@ -232,36 +266,37 @@ class PallasBandedTriSolver:
         tr = lambda a: np.ascontiguousarray(np.transpose(a, (0, 2, 1)))
         return cls(jnp.asarray(tr(w_lo), dtype), jnp.asarray(tr(wct_lo), dtype),
                    jnp.asarray(tr(w_up), dtype), jnp.asarray(tr(wct_up), dtype),
-                   n, block, interpret)
+                   n, block, unroll, interpret)
 
     def _pad(self, f: jax.Array) -> jax.Array:
         return jnp.zeros(self.npad, f.dtype).at[: self.n].set(f)
 
     def solve_lower(self, f: jax.Array) -> jax.Array:
         y = _banded_sweep(self._pad(f), self.wt_lo, self.wct_lo, self.block,
-                          True, self.interpret)
+                          True, self.unroll, self.interpret)
         return y[: self.n]
 
     def solve_upper(self, f: jax.Array) -> jax.Array:
         x = _banded_sweep(self._pad(f), self.wt_up, self.wct_up, self.block,
-                          False, self.interpret)
+                          False, self.unroll, self.interpret)
         return x[: self.n]
 
     def msolve(self, f: jax.Array) -> jax.Array:
         """``M⁻¹ f = U \\ (L \\ f)``.
 
-        Default: two single-sweep launches.  ``fused=True`` runs both sweeps
-        in ONE pallas_call (requires the intermediate-y scratch to fit VMEM)
-        — measured *slightly slower* on TPU v5e (0.342 vs 0.303 ms/apply on
-        mat10000 B=128: the forward half's dummy output flushes and the
-        second operand pipeline outweigh the saved launch), kept as an option
-        since the trade-off is size-dependent."""
+        Default (``fused=True``): both sweeps in ONE pallas_call (requires
+        the intermediate-y scratch to fit VMEM).  Measured end-to-end inside
+        the solver while_loop this saves ~0.25 ms/iteration vs two launches
+        (mat10000: 36 vs 48 ms solve) — launch overhead dominates inside
+        while_loop even though a chained micro-bench slightly favors two
+        launches.  Falls back to two single-sweep launches when fused=False
+        or the y scratch exceeds the VMEM budget."""
         nb = self.wt_lo.shape[0]
         if self.fused and (nb * self.block * jnp.dtype(f.dtype).itemsize
                            <= _FUSED_VMEM_BUDGET):
             x = _fused_msolve(self._pad(f), self.wt_lo, self.wct_lo,
                               self.wt_up, self.wct_up, self.block,
-                              self.interpret)
+                              self.unroll, self.interpret)
             return x[: self.n]
         return self.solve_upper(self.solve_lower(f))
 
@@ -269,4 +304,4 @@ class PallasBandedTriSolver:
 jax.tree_util.register_dataclass(
     PallasBandedTriSolver,
     data_fields=["wt_lo", "wct_lo", "wt_up", "wct_up"],
-    meta_fields=["n", "block", "interpret", "fused"])
+    meta_fields=["n", "block", "unroll", "interpret", "fused"])

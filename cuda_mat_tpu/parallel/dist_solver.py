@@ -34,28 +34,58 @@ from cuda_mat_tpu.solvers.result import SolveResult, SolverStatus
 shard_map = jax.shard_map
 
 
-def _make_local_matvec(offsets, halo, shard_rows, ndev, axis=ROWS_AXIS):
+def _make_local_matvec(offsets, halo, shard_rows, ndev, axis=ROWS_AXIS,
+                       overlap: bool = True):
     """Build the per-shard banded matvec with neighbor halo exchange.
 
     Non-circular ppermute: edge devices receive zeros for the missing
     neighbor, which is exactly the global boundary condition (row-aligned DIA
-    data is already zero where a diagonal runs off the matrix edge)."""
+    data is already zero where a diagonal runs off the matrix edge).
+
+    ``overlap=True`` (default, requires shard_rows >= 2*halo) computes the
+    interior rows ``[w, s-w)`` — which read only local x — as a separate
+    dependency chain from the ppermutes, so XLA's latency-hiding scheduler
+    can run the halo exchange over ICI *during* the bulk of the multiply
+    (SURVEY §2 "overlapped with local-block SpMV").  The per-row operations
+    and their order are identical to the unsplit form, so results match
+    bitwise."""
     w = halo
+    s = shard_rows
     send_right = [(i, i + 1) for i in range(ndev - 1)]
     send_left = [(i + 1, i) for i in range(ndev - 1)]
+    split = overlap and w > 0 and ndev > 1 and s >= 2 * w
 
     def matvec(data_local, xl):
         if w > 0 and ndev > 1:
             left_halo = jax.lax.ppermute(xl[-w:], axis, send_right)
             right_halo = jax.lax.ppermute(xl[:w], axis, send_left)
-            x_ext = jnp.concatenate([left_halo, xl, right_halo])
-        else:
-            x_ext = jnp.pad(xl, (w, w))
-        y = jnp.zeros(shard_rows, xl.dtype)
+        if not split:
+            if w > 0 and ndev > 1:
+                x_ext = jnp.concatenate([left_halo, xl, right_halo])
+            else:
+                x_ext = jnp.pad(xl, (w, w))
+            y = jnp.zeros(s, xl.dtype)
+            for k, off in enumerate(offsets):
+                y = y + data_local[k] * jax.lax.dynamic_slice(
+                    x_ext, (w + off,), (s,))
+            return y
+        # interior rows [w, s-w): row+off stays inside [0, s) for |off| <= w
+        y_int = jnp.zeros(s - 2 * w, xl.dtype)
         for k, off in enumerate(offsets):
-            y = y + data_local[k] * jax.lax.dynamic_slice(
-                x_ext, (w + off,), (shard_rows,))
-        return y
+            y_int = y_int + data_local[k, w: s - w] * jax.lax.dynamic_slice(
+                xl, (w + off,), (s - 2 * w,))
+        # boundary rows: [0, w) reads x_ext rows [-w, 2w); [s-w, s) reads
+        # [s-2w, s+w) — each needs one halo plus a 2w-deep local edge
+        xe_l = jnp.concatenate([left_halo, xl[: 2 * w]])
+        xe_r = jnp.concatenate([xl[s - 2 * w:], right_halo])
+        y_l = jnp.zeros(w, xl.dtype)
+        y_r = jnp.zeros(w, xl.dtype)
+        for k, off in enumerate(offsets):
+            y_l = y_l + data_local[k, :w] * jax.lax.dynamic_slice(
+                xe_l, (w + off,), (w,))
+            y_r = y_r + data_local[k, s - w:] * jax.lax.dynamic_slice(
+                xe_r, (w + off,), (w,))
+        return jnp.concatenate([y_l, y_int, y_r])
 
     return matvec
 

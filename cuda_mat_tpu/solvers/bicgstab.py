@@ -207,8 +207,30 @@ def _precond_solve(op, pre, x0, b, tol, maxit, debug=False):
 # Host-facing wrappers
 # ---------------------------------------------------------------------------
 
+_warned_tpu_f64 = False
+
+
 def _dtype_of(config: SolverConfig):
-    return jnp.dtype(config.dtype)
+    """Resolve the compute dtype.  Policy for float64 on TPU: *allowed* (it
+    is the reference's precision, pbicgstab.cu computes in double) but the
+    MXU/VPU have no f64 datapath — XLA emulates it at >10x cost — so we warn
+    once and point at the two native options: ``dtype="float32"`` (the
+    headline workloads converge in f32, BASELINE.md) or
+    :func:`cuda_mat_tpu.solvers.refine.solve_refined` (f32 device solves +
+    f64 host residual refinement = f64-grade accuracy at f32 speed)."""
+    dt = jnp.dtype(config.dtype)
+    global _warned_tpu_f64
+    if (dt == jnp.dtype("float64") and not _warned_tpu_f64
+            and jax.default_backend() == "tpu"):
+        import warnings
+
+        warnings.warn(
+            "float64 on TPU is software-emulated (>10x slower than f32); "
+            "consider SolverConfig(dtype='float32') or "
+            "cuda_mat_tpu.solve_refined for f64-grade accuracy at f32 speed",
+            stacklevel=3)
+        _warned_tpu_f64 = True
+    return dt
 
 
 def _as_op(a, dtype, format=None):

@@ -190,3 +190,26 @@ def test_iterative_refinement_mat10000(mat10000):
     assert res.converged
     r = np.linalg.norm(b - mat10000.matvec(res.x)) / np.linalg.norm(b)
     assert r < 1e-7
+
+
+def test_tpu_f64_policy_warns_once(mat3, vec3, monkeypatch):
+    """float64 on a TPU backend is allowed (reference precision parity) but
+    warns once, pointing at float32 / solve_refined (docs/ROADMAP f64 policy)."""
+    import importlib
+    import warnings
+    import jax
+
+    bg = importlib.import_module("cuda_mat_tpu.solvers.bicgstab")
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(bg, "_warned_tpu_f64", False)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        bg._dtype_of(SolverConfig(dtype="float64"))
+        bg._dtype_of(SolverConfig(dtype="float64"))  # second call: silent
+    msgs = [str(x.message) for x in w if "float64 on TPU" in str(x.message)]
+    assert len(msgs) == 1 and "solve_refined" in msgs[0]
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        bg._dtype_of(SolverConfig(dtype="float32"))  # f32 never warns
+    assert not [x for x in w2 if "float64 on TPU" in str(x.message)]

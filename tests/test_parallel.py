@@ -229,3 +229,34 @@ def test_dist_bicgstab_pallas_engine_matches_xla(lap, rng):
     assert abs(r_p.iters - r_x.iters) <= 5
     rel = np.linalg.norm(b - lap.matvec(r_p.x)) / np.linalg.norm(b)
     assert rel < 1e-7
+
+
+@needs_8
+def test_overlap_split_matches_unsplit(lap, rng):
+    """The interior/boundary split form of the local matvec (overlap=True)
+    is bitwise identical to the unsplit form — same per-row operations in the
+    same order, just a different dependency graph for the scheduler."""
+    from functools import partial as _partial
+
+    from jax.sharding import PartitionSpec as P
+
+    from cuda_mat_tpu.parallel.dist_solver import _make_local_matvec
+
+    mesh = make_mesh(4)
+    axis = mesh.axis_names[0]
+    part = RowPartitionedBanded.from_matrix(lap, 4)
+    data = jax.device_put(
+        jnp.asarray(part.data),
+        jax.sharding.NamedSharding(mesh, P(None, axis)))
+    x = jax.device_put(
+        jnp.asarray(part.pad_vector(rng.standard_normal(lap.n))),
+        jax.sharding.NamedSharding(mesh, P(axis)))
+    out = []
+    for overlap in (False, True):
+        mv = _make_local_matvec(part.offsets, part.halo, part.shard_rows,
+                                4, axis, overlap=overlap)
+        f = jax.jit(_partial(jax.shard_map, mesh=mesh,
+                             in_specs=(P(None, axis), P(axis)),
+                             out_specs=P(axis))(mv))
+        out.append(np.asarray(f(data, x)))
+    np.testing.assert_array_equal(out[0], out[1])
