@@ -183,7 +183,7 @@ def dist_spmv(a, x: np.ndarray, mesh: Mesh, dtype=jnp.float64,
     """One-shot distributed SpMV for a host matrix/vector (convenience)."""
     align = 1
     if local_engine == "pallas":
-        dia = a.to_dia() if hasattr(a, "to_dia") else a
+        dia = a.to_dia(max_diags=128) if hasattr(a, "to_dia") else a
         align = _pallas_blocks(dia.bandwidth, interpret)[0]
     part = RowPartitionedBanded.from_matrix(a, mesh.devices.size, align=align)
     fn, put = make_dist_spmv(part, mesh, dtype, local_engine, interpret)
@@ -226,7 +226,7 @@ def dist_bicgstab(a, b: np.ndarray, mesh: Mesh,
     if halo_mode in ("auto", "ppermute"):
         try:
             if local_engine == "pallas":
-                dia = a.to_dia() if hasattr(a, "to_dia") else a
+                dia = a.to_dia(max_diags=128) if hasattr(a, "to_dia") else a
                 blk, sub = _pallas_blocks(dia.bandwidth, interpret)
                 part = RowPartitionedBanded.from_matrix(a, ndev, align=blk)
             else:

@@ -36,11 +36,14 @@ class RowPartitionedBanded:
     data: np.ndarray       # [ndiag, npad] row-aligned, padded rows = identity
 
     @classmethod
-    def from_matrix(cls, a, ndev: int, align: int = 1
+    def from_matrix(cls, a, ndev: int, align: int = 1, max_diags: int = 128
                     ) -> "RowPartitionedBanded":
         """``align``: round shard_rows up to a multiple (the per-shard Pallas
-        SpMV kernel needs shard_rows divisible by its block size)."""
-        dia = a.to_dia() if isinstance(a, CSRMatrix) else a
+        SpMV kernel needs shard_rows divisible by its block size).
+        ``max_diags`` bounds the DIA conversion so an unstructured matrix
+        raises ValueError (→ the caller's ELL/all-gather fallback) *before*
+        materializing an [ndiag, n] array."""
+        dia = a.to_dia(max_diags=max_diags) if isinstance(a, CSRMatrix) else a
         assert isinstance(dia, DIAMatrix)
         n = dia.n
         shard_rows = -(-n // ndev)

@@ -260,3 +260,24 @@ def test_overlap_split_matches_unsplit(lap, rng):
                              out_specs=P(axis))(mv))
         out.append(np.asarray(f(data, x)))
     np.testing.assert_array_equal(out[0], out[1])
+
+
+@needs_8
+def test_weak_scaling_harness_runs(capsys):
+    """benchmarks/weak_scaling.py code path on the virtual mesh (numbers are
+    meaningless on shared host cores; this validates mechanics + JSON)."""
+    import importlib.util
+    import json
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "weak_scaling", os.path.join(os.path.dirname(__file__), "..",
+                                     "benchmarks", "weak_scaling.py"))
+    ws = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ws)
+    ws.main(["--devices", "1", "2", "--rows-per-dev", "4000",
+             "--bandwidth", "50", "--iters", "2", "--dtype", "float64"])
+    line = [l for l in capsys.readouterr().out.splitlines() if l.strip()][-1]
+    out = json.loads(line)
+    assert out["metric"] == "weak_scaling_efficiency"
+    assert len(out["configs"]) == 2
