@@ -79,8 +79,6 @@ def main(argv=None):
         fn, put = make_dist_spmv(part, mesh, dtype=jnp.dtype(args.dtype))
         x = put(np.ones(n))
         # chained applications; scale keeps iterates bounded
-        import functools
-
         @jax.jit
         def chain(x):
             return jax.lax.fori_loop(

@@ -9,7 +9,6 @@ entry point accepts.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 
 def use_x64(enable: bool = True) -> None:

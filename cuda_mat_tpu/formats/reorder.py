@@ -2,10 +2,13 @@
 
 The reference has no reordering; its banded fixtures are already optimally
 ordered (mat10000.mtx is a banded Laplacian).  On TPU, ordering is a
-*performance feature*: the no-gather DIA/Pallas SpMV path (see
-:mod:`cuda_mat_tpu.ops.pallas_spmv`) requires a narrow band, and unstructured
-gathers run ~400x slower than the banded kernel — so a matrix whose graph is
-banded-able but badly ordered is worth permuting at load time.
+*performance feature*: a narrow bandwidth makes (a) the banded trisolve /
+distributed banded partition applicable (both need bandwidth <= block /
+shard), and (b) the SpMV block-compact — a band-w matrix has <= 3 nonzero
+128x128 blocks per block-row, so the BELL operator (MXU block matmuls)
+replaces element gathers that run ~400x off roofline.  (The no-gather DIA
+kernel additionally needs *few distinct offsets*, which RCM does not
+guarantee — a reordered matrix usually lands in BELL, not DIA.)
 
 ``rcm_permutation`` returns ``perm`` such that ``A[perm][:, perm]`` has
 (heuristically) minimal bandwidth; solving the permuted system and scattering

@@ -18,7 +18,6 @@ Format choice (``make_operator``) is a load-time decision:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

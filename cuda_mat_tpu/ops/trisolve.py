@@ -23,7 +23,6 @@ the lower bandwidth to keep K small (mat10000: w=100 → K ≤ 2 with B=128).
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ convergence/locality trade.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Tuple
 
 import numpy as np
