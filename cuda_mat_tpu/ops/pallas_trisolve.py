@@ -232,7 +232,10 @@ class PallasBandedTriSolver:
             raise ValueError(
                 f"bandwidth {max(-offs.min(), offs.max())} exceeds block {block}")
         nb = -(-n // block)
-        unroll = max(1, min(unroll, nb))
+        # VMEM cap: the pipeline holds ~2 in-flight copies of the two
+        # (unroll, B, B) operand blocks; keep unroll*B^2 under ~256k elements
+        # (B=1024 OOMs VMEM even at unroll=1 — use ops.trisolve there)
+        unroll = max(1, min(unroll, nb, 262144 // (block * block) or 1))
         nb = -(-nb // unroll) * unroll
 
         lo_diag = np.tile(np.eye(block), (nb, 1, 1))

@@ -70,10 +70,26 @@ class ILU0Preconditioner:
         """``engine``: "blocked" = generic fori_loop solver; "pallas_banded" =
         single-launch Pallas kernel (banded factors only); "auto" = Pallas on
         a TPU backend when the band fits the block, else blocked."""
+        # Both trisolve engines precompute per-block inverses: O(n*B) floats.
+        # Refuse configurations that would silently eat gigabytes at setup
+        # (a 1M-row, B=1024 factor is ~8 GB of inverses and minutes of host
+        # np.linalg.inv) — at that scale use Jacobi, solve_refined, or the
+        # distributed block-Jacobi ILU(0).
+        nb = -(-csr.n // block)
+        w_bytes = 2 * nb * block * block * np.dtype(dtype).itemsize
+        if w_bytes > (2 << 30):
+            raise ValueError(
+                f"ILU(0) blocked trisolve would precompute {w_bytes / 2**30:.1f}"
+                f" GiB of block inverses (n={csr.n}, block={block}); use"
+                f" precond='jacobi', solve_refined, or the distributed"
+                f" bjacobi_ilu0 for systems this large")
         mvals = _factorize(csr)
         if engine == "auto":
             engine = "blocked"
-            if jax.default_backend() == "tpu":
+            if jax.default_backend() == "tpu" and block <= 512:
+                # block > 512 overflows VMEM in the Pallas sweep pipeline
+                # (see pallas_trisolve.from_factor) — use the XLA blocked
+                # solver for wide bands
                 offs = csr.indices.astype(np.int64) - np.repeat(
                     np.arange(csr.n, dtype=np.int64), csr.row_lengths)
                 if offs.size and max(-offs.min(), offs.max()) <= block:

@@ -182,7 +182,12 @@ def precond_core(matvec, msolve, dot, x0, b, tol, maxit, debug=False):
         if debug:
             jax.debug.print("i = {}, residual norm = {}", st.i, nrmr2)
         conv2 = (~conv1) & (nrmr2 < tol * nrmr0)
-        status = jnp.where(conv1 | conv2, _CONVERGED, _RUNNING
+        # the reference's preconditioned loop has no NaN guard and would spin
+        # to maxit on a float breakdown (its *unpreconditioned* loops do guard,
+        # pbicgstab.cu:559) — we surface BREAKDOWN instead of burning maxit
+        broke = (~conv1) & (~conv2) & (jnp.isnan(nrmr2) | jnp.isnan(alpha))
+        status = jnp.where(conv1 | conv2, _CONVERGED,
+                           jnp.where(broke, _BREAKDOWN, _RUNNING)
                            ).astype(jnp.int32)
         i_next = jnp.where(conv1, st.i, st.i + 1).astype(jnp.int32)
         hist = st.hist.at[2 * st.i].set(nrmr1)

@@ -213,3 +213,39 @@ def test_tpu_f64_policy_warns_once(mat3, vec3, monkeypatch):
         warnings.simplefilter("always")
         bg._dtype_of(SolverConfig(dtype="float32"))  # f32 never warns
     assert not [x for x in w2 if "float64 on TPU" in str(x.message)]
+
+
+def test_precond_loop_reports_nan_breakdown():
+    """Float breakdown in the preconditioned loop surfaces as BREAKDOWN
+    instead of spinning to maxit (the reference's precond loop has no guard
+    and would burn all 2000 iterations; its unpreconditioned loops do guard,
+    reference pbicgstab.cu:559)."""
+    import jax.numpy as jnp
+    from cuda_mat_tpu.solvers.bicgstab import precond_core
+
+    # singular operator: A = 0 -> alpha = rho/<rw, 0> = inf/nan on iter 0
+    matvec = lambda x: jnp.zeros_like(x)
+    msolve = lambda f: f
+    b = jnp.ones(8)
+    x, status, iters, *_ = precond_core(matvec, msolve, jnp.dot,
+                                        jnp.zeros(8), b, jnp.float64(1e-6),
+                                        2000)
+    assert int(status) == 2  # BREAKDOWN
+    assert int(iters) <= 2
+
+
+def test_ilu0_refuses_giant_block_inverse_setup():
+    """The O(n*B) block-inverse precompute is guarded with an actionable
+    error instead of silently allocating gigabytes."""
+    from cuda_mat_tpu.models.problems import banded_laplacian
+    from cuda_mat_tpu.precond.preconditioners import ILU0Preconditioner
+
+    a = banded_laplacian(40)  # n=1600 — tiny, but force a huge virtual block
+    with pytest.raises(ValueError, match="jacobi"):
+        # fake scale: n * block^2 made enormous via block
+        class Big:
+            n = 50_000_000
+            indptr = a.indptr
+            indices = a.indices
+            row_lengths = a.row_lengths
+        ILU0Preconditioner.from_csr(Big(), block=1024)
