@@ -30,3 +30,23 @@ def test_cli_checkpoint_resume(tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "resuming" in out and "success" in out
+
+
+def test_cli_reorder_rcm(tmp_path, capsys):
+    """--reorder rcm end-to-end through the CLI."""
+    from cuda_mat_tpu.cli import main
+
+    rc = main(["-M", "data/mat900.mtx", "--reorder", "rcm",
+               "--platform", "cpu", "--x64"])
+    assert rc == 0
+    assert "iterations" in capsys.readouterr().out
+
+
+def test_cli_format_bell(capsys):
+    """--format bell forces the blocked-ELL operator."""
+    from cuda_mat_tpu.cli import main
+
+    rc = main(["-M", "data/mat900.mtx", "--format", "bell",
+               "--precond", "none", "--platform", "cpu", "--x64"])
+    assert rc == 0
+    assert "iterations" in capsys.readouterr().out

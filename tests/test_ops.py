@@ -100,3 +100,27 @@ def test_bell_block_structured_solve(rng):
     res = bicgstab(a, b, SolverConfig(maxit=500, tol=1e-10), format="bell")
     assert res.converged
     assert np.linalg.norm(b - a.matvec(res.x)) / np.linalg.norm(b) < 1e-8
+
+
+def test_factory_prefers_bell_on_tpu_for_blocky(monkeypatch):
+    """The TPU heuristic picks BELL when nnz cluster into few 128x128 blocks,
+    and dense when they don't (small n) — exercised by faking the backend."""
+    import jax
+    import numpy as np
+    from cuda_mat_tpu.formats.csr import CSRMatrix
+    from cuda_mat_tpu.ops import operators as ops
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    rng = np.random.default_rng(11)
+    # blocky: nonzeros confined to the block diagonal of a 16-block grid
+    n, bs = 2048, 128
+    d = np.zeros((n, n))
+    for i in range(0, n, bs):
+        d[i:i + bs, i:i + bs] = rng.standard_normal((bs, bs))
+    blocky = ops.make_operator(CSRMatrix.from_dense(d), dtype=np.float64)
+    assert isinstance(blocky, ops.BELLOperator)
+    # scattered: uniform random fill touches nearly every block -> dense
+    d2 = np.where(rng.random((512, 512)) > 0.99,
+                  rng.standard_normal((512, 512)), 0.0) + np.eye(512)
+    dense = ops.make_operator(CSRMatrix.from_dense(d2), dtype=np.float64)
+    assert isinstance(dense, ops.DenseOperator)
