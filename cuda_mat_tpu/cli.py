@@ -50,8 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--solver", choices=["bicgstab", "bicg"],
                    default="bicgstab")
     p.add_argument("--precond",
-                   choices=["none", "jacobi", "ilu0", "bjacobi_ilu0"],
+                   choices=["none", "jacobi", "ilu0", "ilu0_neumann",
+                            "bjacobi_ilu0"],
                    default="ilu0")
+    p.add_argument("--neumann-terms", type=int, default=3,
+                   help="series terms k for --precond ilu0_neumann")
     p.add_argument("--maxit", type=int, default=2000)
     p.add_argument("--tol", type=float, default=1e-6)
     p.add_argument("--dtype", choices=["float32", "float64"], default=None,
@@ -154,7 +157,7 @@ def main(argv=None) -> int:
     cfg = SolverConfig(maxit=args.maxit, tol=args.tol, debug=args.debug,
                        dtype=args.dtype, precond=args.precond,
                        trisolve_block=args.trisolve_block,
-                       reorder=args.reorder)
+                       reorder=args.reorder, neumann_terms=args.neumann_terms)
 
     x0 = None
     if args.resume:

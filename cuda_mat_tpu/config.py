@@ -45,6 +45,9 @@ class SolverConfig:
     # eligible for the no-gather DIA/Pallas SpMV path).  The solution is
     # scattered back to the original ordering, so x is exact either way.
     reorder: str = "none"
+    # terms k of the truncated Neumann series for precond="ilu0_neumann"
+    # (2(k-1) banded SpMVs per application; see precond.NeumannILUPreconditioner)
+    neumann_terms: int = 3
 
     def replace(self, **kw) -> "SolverConfig":
         return dataclasses.replace(self, **kw)

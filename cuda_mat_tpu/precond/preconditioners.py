@@ -111,6 +111,101 @@ jax.tree_util.register_dataclass(ILU0Preconditioner, data_fields=["tri"],
                                  meta_fields=[])
 
 
+@dataclasses.dataclass(frozen=True)
+class NeumannILUPreconditioner:
+    """ILU(0) applied by a *truncated Neumann series* instead of triangular
+    solves — the bandwidth-optimal TPU formulation for large n (the
+    "Jacobi-iteration approximation" alternative named in SURVEY §7).
+
+    With ``L = I + N_l`` (unit lower) and ``U = D(I + N_u)``,
+    ``N_u = D⁻¹ · strict_upper``:
+
+        L⁻¹ ≈ Σ_{j<k} (−N_l)ʲ        U⁻¹ ≈ (Σ_{j<k} (−N_u)ʲ) D⁻¹
+
+    so one application is ``2(k−1)`` *banded SpMVs* — which run at HBM
+    roofline — instead of sequential sweeps over O(n·B) block inverses
+    (measured on the 1M-row narrow-band config: the exact blocked sweep moves
+    2 GB of W data per application = 6.9 ms/iter; the k=3 series moves
+    ~70 MB).  The preconditioner is approximate: iteration counts rise
+    relative to exact ILU(0); convergence of the series needs
+    ρ(N) < 1, which holds for the diagonally-dominant/M-matrix factors of
+    the headline workloads.
+    """
+
+    nl: object       # strict-lower operator (any matvec pytree)
+    nu: object       # D⁻¹·strict-upper operator
+    inv_d: jax.Array
+    terms: int       # static k (total series terms; k=1 degrades to Jacobi)
+
+    @classmethod
+    def from_csr(cls, csr, dtype=jnp.float32, terms: int = 3,
+                 engine: str = "auto",
+                 pad_like=None) -> "NeumannILUPreconditioner":
+        """``pad_like``: a :class:`PallasDIAOperator` for A — build N_l/N_u as
+        Pallas operators in the *same padded layout*, so the whole msolve maps
+        padded→padded vectors at kernel bandwidth (zero pads are a fixed point
+        of every term)."""
+        from cuda_mat_tpu.formats.coo import COOMatrix
+        from cuda_mat_tpu.formats.csr import CSRMatrix
+        from cuda_mat_tpu.ops.operators import make_operator
+
+        mvals = _factorize(csr)
+        rows = np.repeat(np.arange(csr.n, dtype=np.int64), csr.row_lengths)
+        cols = csr.indices.astype(np.int64)
+        lower = cols < rows
+        upper = cols > rows
+        diag = np.zeros(csr.n)
+        diag[rows[cols == rows]] = mvals[cols == rows]
+        if np.any(diag == 0):
+            raise ValueError("ILU(0) factor has a zero diagonal")
+        if not lower.any() or not upper.any():
+            raise ValueError("matrix has an empty strict triangle; use"
+                             " precond='jacobi'")
+        low = CSRMatrix.from_coo(COOMatrix(
+            csr.n, csr.n, rows[lower].astype(np.int32),
+            cols[lower].astype(np.int32), mvals[lower]))
+        upv = mvals[upper] / diag[rows[upper]]  # D^-1 * strict upper
+        up = CSRMatrix.from_coo(COOMatrix(
+            csr.n, csr.n, rows[upper].astype(np.int32),
+            cols[upper].astype(np.int32), upv))
+        if pad_like is not None:
+            from cuda_mat_tpu.ops.pallas_spmv import PallasDIAOperator
+
+            nl = PallasDIAOperator.from_dia(low.to_dia(max_diags=128),
+                                            dtype=dtype, block=pad_like.block,
+                                            interpret=pad_like.interpret)
+            nu = PallasDIAOperator.from_dia(up.to_dia(max_diags=128),
+                                            dtype=dtype, block=pad_like.block,
+                                            interpret=pad_like.interpret)
+            if (nl.npad, nl.block) != (pad_like.npad, pad_like.block) or \
+                    (nu.npad, nu.block) != (pad_like.npad, pad_like.block):
+                raise ValueError("factor padding does not match the operator")
+            return cls(nl, nu, pad_like.pad_vec(1.0 / diag), terms)
+        fmt = None if engine == "auto" else engine
+        return cls(make_operator(low, dtype=dtype, format=fmt),
+                   make_operator(up, dtype=dtype, format=fmt),
+                   jnp.asarray(1.0 / diag, dtype), terms)
+
+    def msolve(self, f: jax.Array) -> jax.Array:
+        y = f
+        term = f
+        for _ in range(self.terms - 1):
+            term = -self.nl.matvec(term)
+            y = y + term
+        g = self.inv_d * y
+        x = g
+        term = g
+        for _ in range(self.terms - 1):
+            term = -self.nu.matvec(term)
+            x = x + term
+        return x
+
+
+jax.tree_util.register_dataclass(NeumannILUPreconditioner,
+                                 data_fields=["nl", "nu", "inv_d"],
+                                 meta_fields=["terms"])
+
+
 def _factorize(csr) -> np.ndarray:
     try:
         from cuda_mat_tpu.native import loader as _native
@@ -122,11 +217,14 @@ def _factorize(csr) -> np.ndarray:
     return ilu0_factorize(csr)
 
 
-def make_preconditioner(kind: str, csr, block: int = 256, dtype=jnp.float64):
+def make_preconditioner(kind: str, csr, block: int = 256, dtype=jnp.float64,
+                        terms: int = 3):
     if kind in (None, "none", "identity"):
         return IdentityPreconditioner()
     if kind == "jacobi":
         return JacobiPreconditioner.from_csr(csr, dtype=dtype)
     if kind == "ilu0":
         return ILU0Preconditioner.from_csr(csr, block=block, dtype=dtype)
+    if kind == "ilu0_neumann":
+        return NeumannILUPreconditioner.from_csr(csr, dtype=dtype, terms=terms)
     raise ValueError(f"unknown preconditioner {kind!r}")

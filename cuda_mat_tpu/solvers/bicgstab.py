@@ -398,9 +398,27 @@ def solve(a, b, config: SolverConfig = DEFAULT_CONFIG,
                 raise ValueError(
                     "Jacobi preconditioner requires a nonzero diagonal")
             pre = JacobiPreconditioner(op.pad_vec(1.0 / diag))
+        elif padded and config.precond == "ilu0_neumann":
+            # build N_l/N_u in the operator's padded layout: the whole
+            # preconditioned iteration then runs on padded vectors at Pallas
+            # kernel bandwidth
+            from cuda_mat_tpu.precond.preconditioners import (
+                NeumannILUPreconditioner)
+
+            try:
+                pre = NeumannILUPreconditioner.from_csr(
+                    a, dtype=dt, terms=config.neumann_terms, pad_like=op)
+            except ValueError:
+                op = make_operator(a, dtype=dt, format=None)
+                padded = False
+                pre = make_preconditioner(config.precond, a,
+                                          block=config.trisolve_block,
+                                          dtype=dt,
+                                          terms=config.neumann_terms)
         else:
             pre = make_preconditioner(config.precond, a,
-                                      block=config.trisolve_block, dtype=dt)
+                                      block=config.trisolve_block, dtype=dt,
+                                      terms=config.neumann_terms)
     else:
         pre = IdentityPreconditioner()
     if padded:
