@@ -49,3 +49,12 @@ rel = np.linalg.norm(b - a.matvec(r2.x.astype(np.float64))) / np.linalg.norm(b)
 log(f"exact ilu: iters={r2.iters} status={r2.status.name} "
     f"true_rel={rel:.2e} dtAlg warm={r2.dt_alg*1e3:.1f} ms "
     f"({r2.dt_alg/max(r2.iters,1)*1e3:.3f} ms/iter)")
+
+# f64-grade accuracy at f32 speed: refined outer loop around the Neumann inner
+from cuda_mat_tpu.solvers.refine import solve_refined
+cfg = SolverConfig(maxit=5000, tol=1e-8, precond="ilu0_neumann",
+                   neumann_terms=3)
+rr = solve_refined(a, b, cfg, inner_tol=1e-5, max_restarts=8)
+rel = np.linalg.norm(b - a.matvec(rr.x)) / np.linalg.norm(b)
+log(f"refined neumann: status={rr.status.name} inner_iters={rr.iters} "
+    f"true_rel={rel:.2e} dtAlg={rr.dt_alg*1e3:.0f} ms")
