@@ -16,15 +16,19 @@ import numpy as np
 
 
 def verify_pattern(n: int, nnz: int, indptr: np.ndarray, indices: np.ndarray,
-                   strict_sorted_cols: bool = True) -> None:
+                   strict_sorted_cols: bool = True,
+                   m: Optional[int] = None) -> None:
     """Validate CSR invariants; raise ValueError on violation.
 
     Port of the checks in reference mmio_wrapper.h:91-130: nnz consistency,
     monotone non-decreasing row pointer, column indices in range and sorted
     (strictly increasing, which also forbids duplicates) within each row.
+    ``m`` is the column count (defaults to ``n`` for square matrices).
     """
     indptr = np.asarray(indptr)
     indices = np.asarray(indices)
+    if m is None:
+        m = n
     if indptr.shape[0] != n + 1:
         raise ValueError(f"indptr must have length n+1={n + 1}, got {indptr.shape[0]}")
     if indptr[0] != 0:
@@ -33,9 +37,10 @@ def verify_pattern(n: int, nnz: int, indptr: np.ndarray, indices: np.ndarray,
         raise ValueError(f"indptr[-1]={indptr[-1]} != nnz={nnz}")
     if np.any(np.diff(indptr) < 0):
         raise ValueError("indptr must be non-decreasing")
-    if nnz and (indices.min() < 0 or indices.max() >= max(1, n)):
-        # column range check is against m in general; callers pass m via n here
-        pass
+    if nnz and (indices.min() < 0 or indices.max() >= max(1, m)):
+        raise ValueError(
+            f"column index out of range [0, {m}): min={indices.min()},"
+            f" max={indices.max()}")
     row_len = np.diff(indptr)
     if strict_sorted_cols and nnz:
         # strictly increasing columns within each row
@@ -131,9 +136,7 @@ class CSRMatrix:
         return np.diff(self.indptr)
 
     def verify(self) -> None:
-        verify_pattern(self.n, self.nnz, self.indptr, self.indices)
-        if self.nnz and (self.indices.min() < 0 or self.indices.max() >= self.m):
-            raise ValueError("column index out of range")
+        verify_pattern(self.n, self.nnz, self.indptr, self.indices, m=self.m)
 
     def diagonal(self) -> np.ndarray:
         """Dense main diagonal (zeros where not stored)."""

@@ -72,16 +72,33 @@ def rcm_permutation(csr) -> np.ndarray:
         start = seeds[si]
         visited[start] = True
         order[pos] = start
-        head = pos
         pos += 1
-        while head < pos:
-            u = order[head]
-            head += 1
-            for w in nbrs[indptr[u]: indptr[u + 1]]:
-                if not visited[w]:
-                    visited[w] = True
-                    order[pos] = w
-                    pos += 1
+        # BFS one level at a time, each level expansion fully vectorized
+        # (a per-node python loop costs minutes at the 1M-row scales the
+        # headline solves run in ~100 ms).  Candidate order = (parent
+        # position, then degree — neighbor rows are pre-sorted by degree),
+        # first occurrence wins: identical to the sequential queue algorithm.
+        level = np.array([start], dtype=np.int64)
+        while level.size:
+            starts_ = indptr[level]
+            counts = indptr[level + 1] - starts_
+            total = int(counts.sum())
+            if total == 0:
+                break
+            ends = np.cumsum(counts)
+            # flat indices of each level node's neighbor list, concatenated
+            flat = np.arange(total) + np.repeat(starts_ - (ends - counts),
+                                                counts)
+            cand = nbrs[flat]
+            cand = cand[~visited[cand]]
+            if cand.size == 0:
+                break
+            # order-preserving dedup (keep first occurrence)
+            _, first = np.unique(cand, return_index=True)
+            level = cand[np.sort(first)]
+            visited[level] = True
+            order[pos: pos + level.size] = level
+            pos += level.size
     return order[::-1].copy()
 
 

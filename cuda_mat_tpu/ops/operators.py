@@ -155,8 +155,14 @@ class BELLOperator:
         xp = jnp.zeros(nbc * bs, x.dtype).at[: self.m].set(x[: self.m])
         xb = xp.reshape(nbc, bs)
         xg = jnp.take(xb, self.cols, axis=0)        # [nbr, kmax, bs]
+        # precision=HIGHEST: the MXU's native pass truncates f32 operands to
+        # bf16 (preferred_element_type only widens the accumulator), which
+        # measurably degrades BiCGSTAB residual recurrences (mat10000 with a
+        # bf16-truncated msolve: 28 -> 64 iters); the op is bandwidth-bound so
+        # the 3-pass f32 emulation is near-free
         y = jnp.einsum("rkab,rkb->ra", self.values, xg,
-                       preferred_element_type=x.dtype)
+                       preferred_element_type=x.dtype,
+                       precision=jax.lax.Precision.HIGHEST)
         return y.reshape(-1)[: self.n]
 
 
@@ -239,9 +245,16 @@ def make_operator(csr, dtype=jnp.float64, format: Optional[str] = None,
             # fits the budget, else fall through to the gather formats
             bs = 128
             nbr, nbc = -(-csr.n // bs), -(-csr.m // bs)
-            nblocks = np.unique((coo.rows.astype(np.int64) // bs) * nbc
-                                + coo.cols.astype(np.int64) // bs).shape[0]
-            bell_bytes = nblocks * bs * bs * np.dtype(dtype).itemsize
+            bkeys = np.unique((coo.rows.astype(np.int64) // bs) * nbc
+                              + coo.cols.astype(np.int64) // bs)
+            nblocks = bkeys.shape[0]
+            # BELLOperator pads every block-row to kmax = MAX blocks per
+            # block-row, so size the budget on the padded allocation (an
+            # arrow/bordered matrix has tiny nblocks but one full block-row)
+            per_row = np.bincount((bkeys // nbc).astype(np.int64),
+                                  minlength=nbr)
+            kmax = int(per_row.max()) if per_row.size else 1
+            bell_bytes = nbr * max(kmax, 1) * bs * bs * np.dtype(dtype).itemsize
             if (nblocks <= 0.25 * nbr * nbc
                     and bell_bytes <= dense_budget_bytes):
                 format = "bell"

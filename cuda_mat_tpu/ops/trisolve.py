@@ -123,7 +123,10 @@ class BlockTriangularSolver:
             return jax.lax.dynamic_update_slice(y, y_b.astype(y.dtype),
                                                 (b * block,))
 
-        y = jnp.zeros(npad, dtype=dt)
+        # derive the init carry from fp (not a fresh constant) so that under
+        # shard_map with vma checking the carry is marked device-varying like
+        # the loop output (a plain jnp.zeros is unvarying and trips the check)
+        y = (fp * 0).astype(dt)
         y = jax.lax.fori_loop(0, nb, body, y)
         return y[: self.n]
 

@@ -166,7 +166,10 @@ def make_dist_spmv(part: RowPartitionedBanded, mesh: Mesh, dtype=jnp.float32,
 
     @jax.jit
     @partial(shard_map, mesh=mesh, in_specs=(P(None, axis), P(axis)),
-             out_specs=P(axis), check_vma=False)  # pallas_call has no vma
+             out_specs=P(axis),
+             # pallas_call has no varying-manual-axes info; keep the check on
+             # for the XLA engine (a useful correctness net on the common path)
+             check_vma=(local_engine != "pallas"))
     def spmv(data_l, xl):
         return local_mv(data_l, xl)
 
@@ -328,7 +331,8 @@ def dist_bicgstab(a, b: np.ndarray, mesh: Mesh,
              in_specs=mat_specs + (P(axis), P(axis), P(axis), P(), P())
              + tri_specs,
              out_specs=(P(axis), P(), P(), P(), P(), P()),
-             check_vma=False)
+             # see make_dist_spmv: only the Pallas local engine lacks vma
+             check_vma=(local_engine != "pallas"))
     def run(*args):
         mat_l = args[:n_mat]
         x0_l, b_l, inv_diag_l, tol_, btol_ = args[n_mat:n_mat + 5]

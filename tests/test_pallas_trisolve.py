@@ -53,7 +53,12 @@ def test_fused_msolve_matches_two_launch(mat900, rng):
                                             dtype=jnp.float64, interpret=True)
     f = jnp.asarray(rng.standard_normal(900))
     fused = np.asarray(dataclasses.replace(tri, fused=True).msolve(f))
-    two = np.asarray(tri.msolve(f))
+    # baseline = the two-launch path (fused=False falls back to
+    # solve_upper(solve_lower(f))); tri defaults to fused=True, so comparing
+    # against tri.msolve(f) would run the same kernel twice
+    two = np.asarray(dataclasses.replace(tri, fused=False).msolve(f))
+    two_explicit = np.asarray(tri.solve_upper(tri.solve_lower(f)))
+    np.testing.assert_allclose(two, two_explicit, rtol=1e-12, atol=1e-12)
     np.testing.assert_allclose(fused, two, rtol=1e-12, atol=1e-12)
 
 
