@@ -206,6 +206,36 @@ jax.tree_util.register_dataclass(NeumannILUPreconditioner,
                                  meta_fields=["terms"])
 
 
+@dataclasses.dataclass(frozen=True)
+class PaddedPreconditioner:
+    """Adapt a true-n preconditioner to a padded-vector operator protocol.
+
+    The Pallas operators (:class:`~cuda_mat_tpu.ops.pallas_spmv.
+    PallasDIAOperator`, :class:`~cuda_mat_tpu.ops.pallas_stencil.
+    StencilOperator2D`) run the solver loop on *padded* vectors; the exact
+    triangular solvers work on true-n vectors.  This wrapper unpads at the
+    msolve boundary and re-pads the result with exact zeros, so the padding
+    stays a fixed point of the whole preconditioned iteration and the SpMV
+    never has to leave the fast padded layout (fixes the round-1 downgrade
+    where ``precond="ilu0"`` silently rebuilt the operator as the slow XLA
+    DIA formulation).  Cost: two O(n) copies per application — negligible
+    next to the O(n·B) sweep traffic.
+
+    Reference role: the L/U solves feeding csrmv at pbicgstab.cu:92-104.
+    """
+
+    inner: object    # preconditioner over true-n vectors
+    op: object       # padded operator providing pad_vec / unpad_vec
+
+    def msolve(self, f_pad: jax.Array) -> jax.Array:
+        return self.op.pad_vec(self.inner.msolve(self.op.unpad_vec(f_pad)))
+
+
+jax.tree_util.register_dataclass(PaddedPreconditioner,
+                                 data_fields=["inner", "op"],
+                                 meta_fields=[])
+
+
 def _factorize(csr) -> np.ndarray:
     try:
         from cuda_mat_tpu.native import loader as _native

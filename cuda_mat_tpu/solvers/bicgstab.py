@@ -246,13 +246,17 @@ def _as_op(a, dtype, format=None):
         if format == "pallas_dia" or (format is None
                                       and jax.default_backend() == "tpu"):
             # on TPU prefer the Pallas block-halo kernel when the matrix is
-            # banded enough for DIA (~5x the XLA DIA formulation)
+            # banded enough for DIA (~5x the XLA DIA formulation); off-TPU a
+            # forced format="pallas_dia" runs the kernel in interpret mode
+            # (slow — for tests and CPU debugging of the padded protocol)
             try:
                 dia = a.to_dia(max_diags=16)
                 if a.nnz >= 0.4 * dia.ndiag * a.n or format == "pallas_dia":
                     from cuda_mat_tpu.ops.pallas_spmv import PallasDIAOperator
 
-                    return PallasDIAOperator.from_dia(dia, dtype=dtype)
+                    return PallasDIAOperator.from_dia(
+                        dia, dtype=dtype,
+                        interpret=(jax.default_backend() != "tpu"))
             except ValueError:
                 if format == "pallas_dia":
                     raise
@@ -342,13 +346,20 @@ def bicgstab_split(a0, d, x0, b, config: SolverConfig = DEFAULT_CONFIG,
     x0 (reference pbicgstab.cu:926-1088; SpMV is the fused d∘x + A0·x)."""
     dt = _dtype_of(config)
     t0 = time.perf_counter()
-    # the split operator composes with plain (unpadded) formats only
-    base = (make_operator(a0, dtype=dt, format=format)
-            if isinstance(a0, CSRMatrix) else a0)
-    op = SplitOperator(base, jnp.asarray(d, dt))
-    _check_shapes(op, b)
-    bd = jnp.asarray(b, dt)
-    x0d = jnp.asarray(x0, dt)
+    base = _as_op(a0, dt, format)
+    padded = _is_padded(base)
+    if padded:
+        # pad d alongside the vectors: the pad region of d is zero, padded x
+        # stays zero, so d∘x keeps the padding a fixed point of the iteration
+        op = SplitOperator(base, base.pad_vec(np.asarray(d)))
+        _check_shapes(op, b)
+        bd = base.pad_vec(np.asarray(b))
+        x0d = base.pad_vec(np.asarray(x0))
+    else:
+        op = SplitOperator(base, jnp.asarray(d, dt))
+        _check_shapes(op, b)
+        bd = jnp.asarray(b, dt)
+        x0d = jnp.asarray(x0, dt)
     jax.block_until_ready((op, bd, x0d))
     t1 = time.perf_counter()
     out = _hform_solve(op, x0d, bd, jnp.asarray(config.tol, dt),
@@ -356,6 +367,7 @@ def bicgstab_split(a0, d, x0, b, config: SolverConfig = DEFAULT_CONFIG,
                        config.debug)
     out = jax.block_until_ready(out)
     t2 = time.perf_counter()
+    out = (base.unpad_vec(out[0]),) + out[1:] if padded else out
     return _finish(*out, t2 - t1, t1 - t0, config.maxit)
 
 
@@ -384,13 +396,19 @@ def solve(a, b, config: SolverConfig = DEFAULT_CONFIG,
     op = _as_op(a, dt, format)
     _check_shapes(op, b)
     padded = _is_padded(op)
-    if padded and config.precond == "ilu0":
-        # the blocked triangular solver works on unpadded vectors; fall back
-        # to the plain DIA/ELL operator for the ILU path
-        op = make_operator(a, dtype=dt, format=None)
-        padded = False
     if isinstance(a, CSRMatrix):
-        if padded and config.precond == "jacobi":
+        if padded and config.precond == "ilu0":
+            # exact ILU(0): keep the Pallas SpMV — the triangular solvers
+            # work on true-n vectors, so adapt them at the msolve boundary
+            # (round-1 downgraded the whole operator to the slow XLA DIA
+            # formulation here, 0.12-0.15x of roofline per matvec)
+            from cuda_mat_tpu.precond.preconditioners import (
+                PaddedPreconditioner)
+
+            pre = PaddedPreconditioner(
+                make_preconditioner("ilu0", a, block=config.trisolve_block,
+                                    dtype=dt), op)
+        elif padded and config.precond == "jacobi":
             from cuda_mat_tpu.precond.preconditioners import JacobiPreconditioner
 
             diag = a.diagonal()
