@@ -59,8 +59,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tol", type=float, default=1e-6)
     p.add_argument("--dtype", choices=["float32", "float64"], default=None,
                    help="default: float64 when x64 is enabled, else float32")
-    p.add_argument("--format", choices=["csr", "ell", "dia", "bell", "dense"],
-                   default=None, help="force an operator format")
+    p.add_argument("--format",
+                   choices=["csr", "ell", "dia", "bell", "dense",
+                            "pallas_dia", "stencil"],
+                   default=None, help="force an operator format (pallas_dia ="
+                   " block-halo Pallas kernel; stencil = matrix-free"
+                   " constant-coefficient grid stencil)")
     p.add_argument("--trisolve-block", type=int, default=128)
     p.add_argument("--reorder", choices=["none", "rcm"], default="none",
                    help="bandwidth-reducing reordering (RCM) before the "

@@ -218,3 +218,330 @@ jax.tree_util.register_dataclass(
     StencilOperator2D, data_fields=["coeffs"],
     meta_fields=["offsets", "r", "c", "rp", "cp", "tr", "tc", "vec_dtype",
                  "interpret"])
+
+
+# ---------------------------------------------------------------------------
+# Constant-coefficient stencil in the gap-strided 1-D block-halo layout
+# ---------------------------------------------------------------------------
+#
+# The 2-D tile kernel above streams its 3x3 halo neighborhood as nine full
+# tile views, which Mosaic re-DMAs on every grid step (the index maps change
+# each step, so the revisiting guard never fires) — ~9x of x per matvec.  For
+# *constant-coefficient* grid stencils (the whole Laplacian family: mat900,
+# mat10000, every bench system — reference mat10000.mtx:1-5) there is a
+# strictly better formulation, measured on TPU v5e (see BASELINE.md):
+#
+# - keep the proven 1-D block-halo layout of :mod:`~cuda_mat_tpu.ops.
+#   pallas_spmv` (x streamed once + 2·sub/block halo overfetch, y written
+#   once ≈ 2n bytes/matvec) but drop the per-diagonal coefficient STREAMS
+#   ((ndiag)·n bytes — 5/7.5 of the DIA kernel's traffic) in favour of
+#   compile-time scalars;
+# - store the grid **gap-strided**: each grid row of C cells is padded to a
+#   stride S = round_up(C + max|dc|, 128) with zero gap cells.  A stencil
+#   read that crosses a row boundary (the ±1 "seam" entries that a flat
+#   layout must mask per element) then lands in a zero gap cell — boundary
+#   handling costs nothing.  Masking alternatives measured and rejected:
+#   iota+rem per element (0.6x of the DIA kernel — integer rem is catastrophic
+#   on the VPU), a streamed f32 seam mask (1.9x), XLA scatter fix-up (0.7x —
+#   TPU scatter copies the whole vector);
+# - gap cells of the OUTPUT are re-zeroed by one multiply with a gap mask
+#   that is identical for every block (block % S == 0), passed once through a
+#   constant-index BlockSpec so it stays VMEM-resident across the whole grid
+#   (~0 HBM traffic);
+# - the pad tail [n', npad) is zeroed by an iota compare gated with
+#   ``pl.when`` to the final blocks only.
+#
+# Result: padded vectors are a fixed point of the kernel, the whole solver
+# iteration runs in the strided layout, and the matvec moves ~2.2·n bytes —
+# measured 3.0x the DIA kernel's throughput (2.7e11 nnz/s, 86% of the copy
+# roofline at a 2.2n byte model) on the 10M-row 5-point Laplacian.
+# Replaces the same cusparseDcsrmv call sites (reference pbicgstab.cu:104,
+# :132) as the DIA kernel.
+
+
+def _const_stencil_kernel(*refs, terms, block, sub, np_true, last_i):
+    # refs = (x_sub_0 .. x_sub_{k+1}, gapmask_ref, y_ref)
+    # terms = ((strided_off, scal), ...); np_true = R*S (strided true length)
+    x_refs = refs[:-2]
+    gap_ref, y_ref = refs[-2], refs[-1]
+    i = pl.program_id(0)
+    g = pl.num_programs(0)
+
+    @pl.when((i > 0) & (i < g - 1))
+    def _interior():
+        xs = jnp.concatenate([r[:] for r in x_refs])
+        vdt = xs.dtype
+        acc = None
+        for (off, scal) in terms:
+            xw = jax.lax.slice(xs, (sub + off,), (sub + off + block,))
+            term = jnp.asarray(scal, vdt) * xw
+            acc = term if acc is None else acc + term
+        acc = acc * gap_ref[:]
+
+        @pl.when(i >= last_i)
+        def _tail():
+            # zero [np_true, npad): the only rows where gapmask (periodic in
+            # S) is not already the right mask
+            t = (i - 1) * block + jax.lax.broadcasted_iota(
+                jnp.int32, (block,), 0)
+            y_ref[:] = jnp.where(t < jnp.int32(np_true), acc,
+                                 jnp.zeros_like(acc))
+
+        @pl.when(i < last_i)
+        def _notail():
+            y_ref[:] = acc
+
+    @pl.when((i == 0) | (i == g - 1))
+    def _edge():
+        y_ref[:] = jnp.zeros_like(y_ref)
+
+
+@partial(jax.jit, static_argnames=("terms", "np_true", "block", "sub",
+                                   "interpret"))
+def const_stencil_spmv_padded(x_pad: jax.Array, gapmask: jax.Array, terms,
+                              np_true: int, block: int, sub: int,
+                              interpret: bool = False) -> jax.Array:
+    """``y_pad = A x_pad`` for a constant-coefficient grid stencil on
+    gap-strided block-halo padded vectors.
+
+    ``terms``: static tuple of (strided offset, scalar); ``gapmask``: (block,)
+    0/1 vector zeroing gap cells (requires block % stride == 0 so the mask is
+    per-block identical); ``np_true``: R*S strided length before block
+    padding.
+    """
+    npad = x_pad.shape[0] - 2 * block
+    assert npad % block == 0 and block % sub == 0
+    offs = [t[0] for t in terms]
+    assert max(abs(min(offs)), abs(max(offs))) <= sub
+    assert gapmask.shape == (block,)
+    g = npad // block + 2
+    k = block // sub
+    n_sub = (npad + 2 * block) // sub
+    last_i = (np_true - 1) // block + 1 if np_true < npad else g - 1
+
+    def sub_map(j):
+        return lambda i: (jnp.clip(i * k + j - 1, 0, n_sub - 1),)
+
+    x_specs = [pl.BlockSpec((sub,), sub_map(j), memory_space=pltpu.VMEM)
+               for j in range(k + 2)]
+    gap_spec = pl.BlockSpec((block,), lambda i: (0,),
+                            memory_space=pltpu.VMEM)
+    kernel = partial(_const_stencil_kernel, terms=terms, block=block,
+                     sub=sub, np_true=np_true, last_i=last_i)
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=x_specs + [gap_spec],
+        out_specs=pl.BlockSpec((block,), lambda i: (i,),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((npad + 2 * block,), x_pad.dtype),
+        interpret=interpret,
+    )(*([x_pad] * (k + 2)), gapmask)
+
+
+def detect_const_stencil(dia, dc_max: int = 8, dr_max: int = 8):
+    """Detect constant-coefficient 2-D grid-stencil structure in a DIA matrix.
+
+    Returns ``(c_grid, terms)`` with ``terms = ((off, dc, scal), ...)`` when
+    the matrix is exactly ``A[(gi,gj),(gi+dr,gj+dc)] = scal_k`` on an R×C
+    grid (entries whose neighbor leaves the grid are zero), else ``None``.
+    Candidates for C are the |offsets| > dc_max (an offset too large to be a
+    within-row step must be a row step); the grid interpretation is verified
+    exactly against the stored diagonal data, so a successful detection is a
+    proof, not a heuristic.
+    """
+    if dia.n != dia.m or dia.ndiag == 0:
+        return None
+    n = dia.n
+    offs = [int(o) for o in dia.offsets]
+    cands = sorted({abs(o) for o in offs if abs(o) > dc_max}, reverse=True)
+    idx = np.arange(n, dtype=np.int64)
+    for c in cands:
+        if n % c or n // c < 2:
+            continue
+        gj = idx % c
+        terms = []
+        ok = True
+        for d, off in enumerate(offs):
+            dr = int(np.rint(off / c))
+            dc = off - dr * c
+            if abs(dc) > dc_max or abs(dr) > dr_max:
+                ok = False
+                break
+            data = dia.data[d]
+            valid = (gj + dc >= 0) & (gj + dc < c)
+            # row-direction validity: i + off in [0, n) is already implied by
+            # row-aligned DIA construction (out-of-range slots are 0) — but
+            # those zero slots must not break the constant check, so restrict
+            # to in-range rows as well
+            lo, hi = max(0, -off), min(n, n - off)
+            valid = valid & (idx >= lo) & (idx < hi)
+            vals = data[valid]
+            if vals.size == 0 or np.any(vals != vals[0]) \
+                    or np.any(data[~valid] != 0):
+                ok = False
+                break
+            terms.append((off, dc, float(vals[0])))
+        if ok:
+            return c, tuple(terms)
+    return None
+
+
+def _lcm(a: int, b: int) -> int:
+    import math
+
+    return a * b // math.gcd(a, b)
+
+
+def stencil_layout(c_grid: int, n: int, terms,
+                   block_target: int = 262144):
+    """Choose the gap-strided layout (stride, sub, block, np_true, npad) for
+    a grid with row length C.  Constraints: stride >= C + max|dc| (seam reads
+    land in zero gap cells) and a multiple of 128 (lanes); sub >= max strided
+    offset and a multiple of 1024 (HBM DMA alignment); block a multiple of
+    both sub (pipeline) and stride (per-block-identical gap mask)."""
+    dcmax = max((abs(t[1]) for t in terms), default=0)
+    stride = _round_up(c_grid + dcmax, 128)
+    r = n // c_grid
+    np_true = r * stride
+    # strided offsets: off' = dr*stride + dc
+    soffs = [((t[0] - t[1]) // c_grid) * stride + t[1] for t in terms]
+    sub = _round_up(max(max(abs(o) for o in soffs), 1), 1024)
+    base = _lcm(sub, stride)
+    if base > (1 << 19):
+        raise ValueError(
+            f"stencil layout base block {base} exceeds the VMEM budget"
+            f" (C={c_grid}); use PallasDIAOperator instead")
+    m = max(1, min(block_target // base, -(-np_true // base)))
+    block = base * m
+    npad = _round_up(np_true, block)
+    return stride, sub, block, np_true, npad, tuple(
+        (so, float(t[2])) for so, t in zip(soffs, terms))
+
+
+@dataclasses.dataclass(frozen=True)
+class ConstStencilOperator:
+    """Matrix-free device operator for constant-coefficient grid stencils in
+    the gap-strided block-halo layout (see the module comment above for the
+    measured design rationale).
+
+    Pad protocol (``pad_vec``/``unpad_vec`` + padding as an iteration fixed
+    point) matches :class:`~cuda_mat_tpu.ops.pallas_spmv.PallasDIAOperator`,
+    so the solver loops run unchanged; the *internal* coordinates are
+    strided, so factor operators built to compose with this one (Neumann
+    series N_l/N_u) must be restrided to the same layout — see
+    :func:`restride_dia`.
+    """
+
+    gapmask: jax.Array         # [block] 0/1, zeroes gap cells (VMEM-resident)
+    terms: Tuple[Tuple[int, int, float], ...]  # static true-coord (off, dc, scal)
+    strided_terms: Tuple[Tuple[int, float], ...]  # static (off', scal)
+    c_grid: int                # static grid row length C
+    stride: int                # static strided row length S >= C
+    n: int                     # static true dimension (R*C)
+    np_true: int               # static strided dimension (R*S)
+    npad: int                  # static block-padded strided dimension
+    block: int                 # static
+    sub: int                   # static halo sub-block
+    vec_dtype: str = "float32"
+    interpret: bool = False
+
+    @property
+    def m(self) -> int:
+        return self.n
+
+    @property
+    def r(self) -> int:
+        return self.n // self.c_grid
+
+    @property
+    def nnz(self) -> int:
+        nz = 0
+        for off, dc, _ in self.terms:
+            lo, hi = max(0, -off), min(self.n, self.n - off)
+            cnt = hi - lo
+            if dc:
+                gj = np.arange(lo, hi, dtype=np.int64) % self.c_grid
+                cnt = int(np.count_nonzero((gj + dc >= 0) & (gj + dc
+                                                             < self.c_grid)))
+            nz += cnt
+        return nz
+
+    @classmethod
+    def from_dia(cls, dia, dtype=jnp.float32, block_target: int = 262144,
+                 interpret: bool = False) -> "ConstStencilOperator":
+        det = detect_const_stencil(dia)
+        if det is None:
+            raise ValueError(
+                "matrix is not a constant-coefficient grid stencil; use"
+                " PallasDIAOperator / make_operator instead")
+        c_grid, terms = det
+        stride, sub, block, np_true, npad, sterms = stencil_layout(
+            c_grid, dia.n, terms, block_target)
+        gap = np.zeros(block, dtype=np.dtype(dtype))
+        gap.reshape(block // stride, stride)[:, :c_grid] = 1.0
+        return cls(jnp.asarray(gap), terms, sterms, c_grid, stride, dia.n,
+                   np_true, npad, block, sub, str(np.dtype(dtype)), interpret)
+
+    def pad_vec(self, v) -> jax.Array:
+        dt = jnp.dtype(self.vec_dtype)
+        v2 = jnp.asarray(v, dt).reshape(self.r, self.c_grid)
+        g = jnp.zeros((self.r, self.stride), dt).at[:, : self.c_grid].set(v2)
+        out = jnp.zeros(self.npad + 2 * self.block, dt)
+        return out.at[self.block: self.block + self.np_true].set(
+            g.reshape(-1))
+
+    def unpad_vec(self, v_pad: jax.Array) -> jax.Array:
+        g = v_pad[self.block: self.block + self.np_true].reshape(
+            self.r, self.stride)
+        return g[:, : self.c_grid].reshape(-1)
+
+    def matvec(self, x_pad: jax.Array) -> jax.Array:
+        return const_stencil_spmv_padded(x_pad, self.gapmask,
+                                         self.strided_terms, self.np_true,
+                                         self.block, self.sub,
+                                         self.interpret)
+
+
+jax.tree_util.register_dataclass(
+    ConstStencilOperator, data_fields=["gapmask"],
+    meta_fields=["terms", "strided_terms", "c_grid", "stride", "n",
+                 "np_true", "npad", "block", "sub", "vec_dtype", "interpret"])
+
+
+def restride_dia(dia, c_grid: int, stride: int):
+    """Re-index an n = R·C banded matrix into the gap-strided coordinate
+    system (n' = R·S): entry (i, j) moves to (i', j') with
+    i' = (i//C)·S + i%C.  Gap rows/columns are structurally zero, so the
+    result is again banded with offsets mapped dr·C + dc → dr·S + dc.
+
+    Used to build factor operators (ILU(0) Neumann-series N_l / N_u) that
+    compose with a :class:`ConstStencilOperator`'s padded vectors — the DIA
+    data itself provides the gap/tail masking (zero slots), so a plain
+    :class:`~cuda_mat_tpu.ops.pallas_spmv.PallasDIAOperator` over the
+    restrided matrix preserves the fixed-point property.
+    """
+    from cuda_mat_tpu.formats.dia import DIAMatrix
+
+    n = dia.n
+    assert n % c_grid == 0
+    r = n // c_grid
+    np_true = r * stride
+    offs = [int(o) for o in dia.offsets]
+    new_offs = []
+    for off in offs:
+        dr = int(np.rint(off / c_grid))
+        dc = off - dr * c_grid
+        if abs(dc) > stride - c_grid and dc != 0:
+            raise ValueError(f"offset {off}: |dc|={abs(dc)} exceeds the gap"
+                             f" width {stride - c_grid}")
+        new_offs.append(dr * stride + dc)
+    order = np.argsort(new_offs)
+    data = np.zeros((dia.ndiag, np_true), dtype=dia.data.dtype)
+    idx = np.arange(n, dtype=np.int64)
+    pos = (idx // c_grid) * stride + (idx % c_grid)
+    for k, d in enumerate(order):
+        data[k, pos] = dia.data[d]
+    return DIAMatrix(np_true, np_true,
+                     np.asarray([new_offs[d] for d in order], np.int32),
+                     data, dia.nnz)

@@ -171,10 +171,20 @@ class NeumannILUPreconditioner:
         if pad_like is not None:
             from cuda_mat_tpu.ops.pallas_spmv import PallasDIAOperator
 
-            nl = PallasDIAOperator.from_dia(low.to_dia(max_diags=128),
+            low_d = low.to_dia(max_diags=128)
+            up_d = up.to_dia(max_diags=128)
+            if hasattr(pad_like, "stride"):
+                # gap-strided ConstStencilOperator: re-index the factors into
+                # the same strided coordinates; the restrided DIA data's zero
+                # slots mask gaps/tail, so the fixed-point property holds
+                from cuda_mat_tpu.ops.pallas_stencil import restride_dia
+
+                low_d = restride_dia(low_d, pad_like.c_grid, pad_like.stride)
+                up_d = restride_dia(up_d, pad_like.c_grid, pad_like.stride)
+            nl = PallasDIAOperator.from_dia(low_d,
                                             dtype=dtype, block=pad_like.block,
                                             interpret=pad_like.interpret)
-            nu = PallasDIAOperator.from_dia(up.to_dia(max_diags=128),
+            nu = PallasDIAOperator.from_dia(up_d,
                                             dtype=dtype, block=pad_like.block,
                                             interpret=pad_like.interpret)
             if (nl.npad, nl.block) != (pad_like.npad, pad_like.block) or \

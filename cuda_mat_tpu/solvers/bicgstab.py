@@ -243,22 +243,39 @@ def _as_op(a, dtype, format=None):
         if a.n != a.m:
             raise ValueError(
                 f"square matrix is expected, got {a.n}x{a.m}")  # cf. example.cpp:257-260
-        if format == "pallas_dia" or (format is None
-                                      and jax.default_backend() == "tpu"):
+        pallas_formats = ("pallas_dia", "stencil")
+        if format in pallas_formats or (format is None
+                                        and jax.default_backend() == "tpu"):
             # on TPU prefer the Pallas block-halo kernel when the matrix is
             # banded enough for DIA (~5x the XLA DIA formulation); off-TPU a
-            # forced format="pallas_dia" runs the kernel in interpret mode
-            # (slow — for tests and CPU debugging of the padded protocol)
+            # forced format="pallas_dia"/"stencil" runs the kernel in
+            # interpret mode (slow — for tests and CPU debugging of the
+            # padded protocol)
+            interpret = jax.default_backend() != "tpu"
             try:
                 dia = a.to_dia(max_diags=16)
-                if a.nnz >= 0.4 * dia.ndiag * a.n or format == "pallas_dia":
+                if a.nnz >= 0.4 * dia.ndiag * a.n or format in pallas_formats:
+                    # constant-coefficient grid stencils (the Laplacian
+                    # family) run matrix-free: ~2n bytes/matvec vs the DIA
+                    # kernel's (ndiag+2.5)n — detection is an exact proof,
+                    # so auto-upgrading is always safe
+                    if format != "pallas_dia":
+                        from cuda_mat_tpu.ops.pallas_stencil import (
+                            ConstStencilOperator, detect_const_stencil)
+
+                        if detect_const_stencil(dia) is not None:
+                            return ConstStencilOperator.from_dia(
+                                dia, dtype=dtype, interpret=interpret)
+                        if format == "stencil":
+                            raise ValueError(
+                                "matrix is not a constant-coefficient grid"
+                                " stencil; drop format='stencil'")
                     from cuda_mat_tpu.ops.pallas_spmv import PallasDIAOperator
 
                     return PallasDIAOperator.from_dia(
-                        dia, dtype=dtype,
-                        interpret=(jax.default_backend() != "tpu"))
+                        dia, dtype=dtype, interpret=interpret)
             except ValueError:
-                if format == "pallas_dia":
+                if format in pallas_formats:
                     raise
         return make_operator(a, dtype=dtype, format=format)
     return a  # already a device operator

@@ -70,3 +70,130 @@ def test_stencil_full_solve_matches_plain(rng):
     xs = np.asarray(op.unpad_vec(x))
     rel = np.linalg.norm(b - a.matvec(xs)) / np.linalg.norm(b)
     assert rel < 1e-7
+
+
+# ---------------------------------------------------------------------------
+# Constant-coefficient 1-D masked kernel (ConstStencilOperator)
+# ---------------------------------------------------------------------------
+
+from cuda_mat_tpu.ops.pallas_stencil import (  # noqa: E402
+    ConstStencilOperator, detect_const_stencil)
+
+
+def test_detect_const_stencil_laplacian():
+    dia = banded_laplacian(30).to_dia()
+    det = detect_const_stencil(dia)
+    assert det is not None
+    c, terms = det
+    assert c == 30
+    assert {(off, dc) for off, dc, _ in terms} == {
+        (-30, 0), (-1, -1), (0, 0), (1, 1), (30, 0)}
+    assert {s for *_, s in terms} == {-1.0, 4.0}
+
+
+def test_detect_const_stencil_ninepoint():
+    from cuda_mat_tpu.models.problems import laplacian_2d
+
+    dia = laplacian_2d(12).to_dia()
+    det = detect_const_stencil(dia)
+    assert det is not None
+    c, terms = det
+    assert c == 12 and len(terms) == 9
+    assert {(off, dc) for off, dc, _ in terms} == {
+        (-13, -1), (-12, 0), (-11, 1), (-1, -1), (0, 0), (1, 1),
+        (11, -1), (12, 0), (13, 1)}
+
+
+def test_detect_const_stencil_rejects_variable():
+    dia = banded_laplacian(20).to_dia()
+    dia.data[2, 7] = 5.0  # one interior diagonal entry off-constant
+    assert detect_const_stencil(dia) is None
+
+
+def test_detect_const_stencil_rejects_tridiagonal():
+    # pure within-row band: no row-step offset, nothing to gain over DIA
+    from cuda_mat_tpu.formats.coo import COOMatrix
+    from cuda_mat_tpu.formats.csr import CSRMatrix
+
+    n = 64
+    i = np.arange(n)
+    coo = COOMatrix(n, n, np.concatenate([i, i[1:], i[:-1]]),
+                    np.concatenate([i, i[1:] - 1, i[:-1] + 1]),
+                    np.concatenate([np.full(n, 2.0), np.full(n - 1, -1.0),
+                                    np.full(n - 1, -1.0)]))
+    assert detect_const_stencil(CSRMatrix.from_coo(coo).to_dia()) is None
+
+
+@pytest.mark.parametrize("fixture", ["banded_laplacian", "laplacian_2d",
+                                     "rect"])
+def test_const_stencil_matches_csr(fixture, rng):
+    from cuda_mat_tpu.models.problems import laplacian_2d
+
+    if fixture == "banded_laplacian":
+        a = banded_laplacian(30)
+    elif fixture == "laplacian_2d":
+        a = laplacian_2d(20)
+    else:
+        a = _lap_grid(40, 25)   # rectangular grid
+    op = ConstStencilOperator.from_dia(a.to_dia(), dtype=jnp.float64,
+                                       block_target=2048, interpret=True)
+    x = rng.standard_normal(a.n)
+    y = np.asarray(op.unpad_vec(op.matvec(op.pad_vec(x))))
+    np.testing.assert_allclose(y, a.matvec(x), rtol=1e-12, atol=1e-12)
+    assert op.nnz == a.nnz
+
+
+def test_const_stencil_pad_fixed_point(rng):
+    a = banded_laplacian(30)
+    op = ConstStencilOperator.from_dia(a.to_dia(), dtype=jnp.float64,
+                                       block_target=2048, interpret=True)
+    xp = op.pad_vec(rng.standard_normal(a.n))
+    yp = np.asarray(op.matvec(xp))
+    # every non-true-cell position (side pads, gap cells, tail) must be an
+    # exact zero so padded vectors are a fixed point of the iteration
+    true_cells = np.asarray(op.pad_vec(np.ones(a.n))) != 0.0
+    assert np.all(yp[~true_cells] == 0.0)
+
+
+def test_const_stencil_e2e_solve_matches_plain(rng):
+    """solve() with format='stencil' reproduces the default-format result on
+    the mat10000 pattern (ILU(0), the reference CLI default)."""
+    from cuda_mat_tpu.config import SolverConfig
+    from cuda_mat_tpu.solvers.bicgstab import solve
+
+    a = banded_laplacian(30)
+    b = rng.uniform(1.0, 5.0, a.n)
+    cfg = SolverConfig(maxit=2000, tol=1e-8, dtype="float64", precond="ilu0",
+                       trisolve_block=64)
+    r_plain = solve(a, b, cfg)
+    r_sten = solve(a, b, cfg, format="stencil")
+    assert r_sten.status.name == r_plain.status.name == "CONVERGED"
+    assert r_sten.iters == r_plain.iters
+    np.testing.assert_allclose(r_sten.x, r_plain.x, rtol=1e-9, atol=1e-12)
+
+
+def test_const_stencil_e2e_neumann(rng):
+    """ilu0_neumann builds its factors in the stencil operator's padded
+    layout (pad_like interop) and matches the unpadded result."""
+    from cuda_mat_tpu.config import SolverConfig
+    from cuda_mat_tpu.solvers.bicgstab import solve
+
+    a = banded_laplacian(30)
+    b = rng.uniform(1.0, 5.0, a.n)
+    cfg = SolverConfig(maxit=2000, tol=1e-8, dtype="float64",
+                       precond="ilu0_neumann", neumann_terms=3)
+    r_sten = solve(a, b, cfg, format="stencil")
+    r_dia = solve(a, b, cfg, format="dia")
+    assert r_sten.status.name == "CONVERGED"
+    assert r_sten.iters == r_dia.iters
+    np.testing.assert_allclose(r_sten.x, r_dia.x, rtol=1e-9, atol=1e-12)
+
+
+def test_format_stencil_rejects_nonstencil():
+    from cuda_mat_tpu.config import SolverConfig
+    from cuda_mat_tpu.models.problems import random_diag_nonzero_system
+    from cuda_mat_tpu.solvers.bicgstab import solve
+
+    a, b = random_diag_nonzero_system(50, prob_of_zero=0.9)
+    with pytest.raises(ValueError):
+        solve(a, b, SolverConfig(precond="none"), format="stencil")
