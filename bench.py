@@ -97,6 +97,22 @@ def main():
                 spmv_gbps=round(spmv_gbps, 1),
                 nnz_per_s=f"{nnz_per_s:.3e}")
 
+    # ---- constant-stencil kernel (matrix-free, gap-strided layout) ---------
+    stencil_nnz_per_s = None
+    if backend == "tpu":
+        try:
+            from cuda_mat_tpu.ops.pallas_stencil import ConstStencilOperator
+
+            sop = ConstStencilOperator.from_dia(dia)
+            xs = sop.pad_vec(jnp.ones((n,), jnp.float32))
+            t_sten = _chain_time(lambda y: sop.matvec(y) * 0.1, xs, k=200)
+            stencil_nnz_per_s = sop.nnz / t_sten
+            info.update(t_stencil_us=round(t_sten * 1e6, 1),
+                        stencil_nnz_per_s=f"{stencil_nnz_per_s:.3e}",
+                        stencil_vs_dia=round(t_spmv / t_sten, 2))
+        except Exception as e:
+            info["stencil_error"] = repr(e)[:200]
+
     # ---- mat10000 solve stats (reference headline workload) ---------------
     try:
         from cuda_mat_tpu.config import SolverConfig
@@ -116,13 +132,48 @@ def main():
     except Exception as e:  # bench must always emit its JSON line
         info["mat10000_error"] = repr(e)[:200]
 
+    # ---- solve-level headline: 1M-row Neumann solve + refined to 1e-6 -----
+    # (VERDICT r1 #6: track e2e solve regressions, not just SpMV; refined
+    # demonstrates the reference tolerance — 1e-6 in *true f64 residual*
+    # terms, example.cpp:180 — at f32 device speed)
+    if backend == "tpu":
+        try:
+            from cuda_mat_tpu.config import SolverConfig
+            from cuda_mat_tpu.models.problems import grid_laplacian
+            from cuda_mat_tpu.solvers.bicgstab import solve
+            from cuda_mat_tpu.solvers.refine import solve_refined
+
+            a1 = grid_laplacian(10000, 100)     # 1M rows, narrow band
+            b1 = np.ones(a1.n)
+            cfg1 = SolverConfig(maxit=2000, tol=1e-4, dtype="float32",
+                                precond="ilu0_neumann", neumann_terms=3)
+            solve(a1, b1, cfg1)                  # compile
+            r1m = solve(a1, b1, cfg1)            # warm
+            info.update(solve_1m_ms=round(r1m.dt_alg * 1e3, 1),
+                        solve_1m_iters=r1m.iters,
+                        solve_1m_status=r1m.status.name)
+            rref = solve_refined(a1, b1, cfg1.replace(tol=1e-6),
+                                 inner_tol=1e-4)
+            info.update(refined_rel_residual=float(rref.residual
+                                                   / rref.residual0),
+                        refined_ms=round(rref.dt_alg * 1e3, 1),
+                        refined_status=rref.status.name)
+        except Exception as e:
+            info["solve_1m_error"] = repr(e)[:200]
+
     print(json.dumps(info), file=sys.stderr)
-    print(json.dumps({
+    out = {
         "metric": "spmv_gbps_per_chip",
         "value": round(spmv_gbps, 2),
         "unit": "GB/s",
         "vs_baseline": round(spmv_gbps / roofline_gbps, 4),
-    }))
+    }
+    # solve-level metrics ride in the same line so the driver records them
+    for k in ("stencil_nnz_per_s", "stencil_vs_dia", "solve_1m_ms",
+              "refined_rel_residual", "refined_ms", "mat10000_dt_alg_ms"):
+        if k in info:
+            out[k] = info[k]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

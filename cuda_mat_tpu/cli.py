@@ -70,7 +70,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bandwidth-reducing reordering (RCM) before the "
                         "solve; x is scattered back to the input ordering")
     p.add_argument("--devices", type=int, default=None,
-                   help="row-partition across N devices (precond none/jacobi)")
+                   help="row-partition across N devices (precond none/jacobi/"
+                        "bjacobi_ilu0/ilu0_neumann)")
     p.add_argument("--refine", action="store_true",
                    help="mixed-precision iterative refinement: f32 device "
                         "solves + f64 host residual correction")

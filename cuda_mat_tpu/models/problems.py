@@ -78,30 +78,37 @@ def random_diag_nonzero_system(n: int, prob_of_zero: float = 0.99,
     return a, b
 
 
-def banded_laplacian(side: int) -> CSRMatrix:
-    """5-point 2-D Laplacian on a ``side × side`` grid: n = side², diag 4,
-    off-diagonals −1 at offsets ±1 (broken at row boundaries) and ±side.
-    ``banded_laplacian(100)`` reproduces the symmetrized mat10000 fixture
-    exactly (diag 4, off −1, offsets ±1/±100; reference mat10000.mtx:1-5).
-    Scales to the 1M-row (side=1000) and 10M-row (side≈3163) bench configs.
-    """
-    n = side * side
+def grid_laplacian(r: int, c: int) -> CSRMatrix:
+    """5-point 2-D Laplacian on an ``r × c`` grid: n = r·c, diag 4,
+    off-diagonals −1 at offsets ±1 (broken at grid-row boundaries) and ±c.
+    The rectangular generalization of :func:`banded_laplacian`;
+    ``grid_laplacian(10000, 100)`` is the 1M-row narrow-band bench config."""
+    n = r * c
     idx = np.arange(n, dtype=np.int64)
     rows = [idx]
     cols = [idx]
     data = [np.full(n, 4.0)]
     # ±1 neighbors, skipped across grid-row boundaries
-    left = idx[idx % side != 0]
+    left = idx[idx % c != 0]
     rows += [left, left - 1]
     cols += [left - 1, left]
     data += [np.full(left.shape[0], -1.0)] * 2
-    # ±side neighbors
-    up = idx[idx >= side]
-    rows += [up, up - side]
-    cols += [up - side, up]
+    # ±c neighbors
+    up = idx[idx >= c]
+    rows += [up, up - c]
+    cols += [up - c, up]
     data += [np.full(up.shape[0], -1.0)] * 2
     return CSRMatrix.from_coo(COOMatrix(
         n, n, np.concatenate(rows), np.concatenate(cols), np.concatenate(data)))
+
+
+def banded_laplacian(side: int) -> CSRMatrix:
+    """5-point 2-D Laplacian on a ``side × side`` grid (see
+    :func:`grid_laplacian`).  ``banded_laplacian(100)`` reproduces the
+    symmetrized mat10000 fixture exactly (diag 4, off −1, offsets ±1/±100;
+    reference mat10000.mtx:1-5).  Scales to the 1M-row (side=1000) and
+    10M-row (side≈3163) bench configs."""
+    return grid_laplacian(side, side)
 
 
 def banded_laplacian_dia(side: int, dtype=np.float32):

@@ -206,7 +206,12 @@ def dist_bicgstab(a, b: np.ndarray, mesh: Mesh,
     preconditioned loop with a sharded diagonal; "bjacobi_ilu0" runs it with
     the block-Jacobi ILU(0) preconditioner (per-shard local ILU solves, zero
     communication per application — see
-    :mod:`cuda_mat_tpu.parallel.dist_precond`).  Exact global ILU(0) is a
+    :mod:`cuda_mat_tpu.parallel.dist_precond`); "ilu0_neumann" applies the
+    *global* ILU(0) factor through its truncated Neumann series — each term
+    is a banded SpMV of N_l/N_u, row-partitioned exactly like A and applied
+    through the same halo-exchange machinery, so the fastest single-chip
+    preconditioner (BASELINE.md: 7.5x exact ILU at 1M rows) distributes with
+    no new communication pattern (VERDICT r1 #3).  Exact global ILU(0) is a
     sequential recurrence — use the single-chip path for that.
 
     ``halo_mode``: "auto" picks neighbor-ppermute halos for banded matrices
@@ -226,14 +231,15 @@ def dist_bicgstab(a, b: np.ndarray, mesh: Mesh,
     interpret = jax.default_backend() != "tpu"
 
     banded = None
+    align = 1
+    blk = sub = None
     if halo_mode in ("auto", "ppermute"):
         try:
             if local_engine == "pallas":
                 dia = a.to_dia(max_diags=128) if hasattr(a, "to_dia") else a
                 blk, sub = _pallas_blocks(dia.bandwidth, interpret)
-                part = RowPartitionedBanded.from_matrix(a, ndev, align=blk)
-            else:
-                part = RowPartitionedBanded.from_matrix(a, ndev)
+                align = blk
+            part = RowPartitionedBanded.from_matrix(a, ndev, align=align)
             banded = True
         except ValueError:
             if halo_mode == "ppermute":
@@ -294,16 +300,45 @@ def dist_bicgstab(a, b: np.ndarray, mesh: Mesh,
     mode = config.precond or "none"
     if mode in ("identity",):
         mode = "none"
-    if mode not in ("none", "jacobi", "bjacobi_ilu0"):
+    if mode not in ("none", "jacobi", "bjacobi_ilu0", "ilu0_neumann"):
         raise ValueError(
-            f"distributed solver supports precond none/jacobi/bjacobi_ilu0, "
-            f"got {config.precond!r}")
+            f"distributed solver supports precond none/jacobi/bjacobi_ilu0/"
+            f"ilu0_neumann, got {config.precond!r}")
     if mode == "jacobi":
         if np.any(diag == 0):
             raise ValueError("Jacobi preconditioner requires a nonzero diagonal")
         inv_diag = jax.device_put(jnp.asarray(1.0 / diag, dt), vec_sharding)
+    elif mode == "ilu0_neumann":
+        if not banded:
+            raise ValueError("ilu0_neumann requires a banded (DIA) partition;"
+                             " use jacobi for general sparsity")
+        from cuda_mat_tpu.precond.preconditioners import neumann_factors
+
+        low, up, diag_m = neumann_factors(a)
+        fac_args = []
+        fac_mvs = []
+        for f in (low, up):
+            pf = RowPartitionedBanded.from_matrix(f, ndev, align=align)
+            assert pf.npad == part.npad and pf.shard_rows == part.shard_rows
+            fac_args.append(jax.device_put(
+                jnp.asarray(pf.data, dt), NamedSharding(mesh, P(None, axis))))
+            if local_engine == "pallas":
+                fac_mvs.append(_make_local_matvec_pallas(
+                    pf.offsets, pf.halo, pf.shard_rows, ndev, axis, blk, sub,
+                    interpret))
+            else:
+                fac_mvs.append(_make_local_matvec(pf.offsets, pf.halo,
+                                                  pf.shard_rows, ndev, axis))
+        # padded rows: inv_d = 1 (the factors' identity padding keeps zero
+        # pad entries a fixed point of every series term)
+        invd = np.ones(part.npad)
+        invd[: part.n] = 1.0 / diag_m
+        inv_diag = jax.device_put(jnp.asarray(invd, dt), vec_sharding)
     else:
         inv_diag = jax.device_put(jnp.ones(part.npad, dt), vec_sharding)
+    if mode != "ilu0_neumann":
+        fac_args = []
+        fac_mvs = []
 
     if mode == "bjacobi_ilu0":
         if not banded:
@@ -324,19 +359,22 @@ def dist_bicgstab(a, b: np.ndarray, mesh: Mesh,
         tri_specs = ()
 
     maxit, debug = config.maxit, config.debug
+    nterms = config.neumann_terms
     n_mat = len(mat_args)
+    n_tri = len(tri_stacked)
 
     @jax.jit
     @partial(shard_map, mesh=mesh,
              in_specs=mat_specs + (P(axis), P(axis), P(axis), P(), P())
-             + tri_specs,
+             + tri_specs + (P(None, axis),) * len(fac_args),
              out_specs=(P(axis), P(), P(), P(), P(), P()),
              # see make_dist_spmv: only the Pallas local engine lacks vma
              check_vma=(local_engine != "pallas"))
     def run(*args):
         mat_l = args[:n_mat]
         x0_l, b_l, inv_diag_l, tol_, btol_ = args[n_mat:n_mat + 5]
-        tri_l = args[n_mat + 5:]
+        tri_l = args[n_mat + 5: n_mat + 5 + n_tri]
+        fac_l = args[n_mat + 5 + n_tri:]
         mv = make_mv(mat_l)
         if mode == "jacobi":
             return precond_core(mv, lambda f: inv_diag_l * f, dot, x0_l, b_l,
@@ -345,11 +383,35 @@ def dist_bicgstab(a, b: np.ndarray, mesh: Mesh,
             tri = local_solver_from_stacked(*tri_l, part.shard_rows, tb)
             return precond_core(mv, tri.msolve, dot, x0_l, b_l, tol_, maxit,
                                 debug)
+        if mode == "ilu0_neumann":
+            nl_data, nu_data = fac_l
+            nl_mv, nu_mv = fac_mvs
+
+            def msolve(f):
+                # truncated series L^-1 ~ sum (-N_l)^j, U^-1 ~ sum (-N_u)^j D^-1
+                # — same update order as the single-chip
+                # NeumannILUPreconditioner.msolve, every term a halo-exchange
+                # banded SpMV
+                y = f
+                term = f
+                for _ in range(nterms - 1):
+                    term = -nl_mv(nl_data, term)
+                    y = y + term
+                g = inv_diag_l * y
+                x = g
+                term = g
+                for _ in range(nterms - 1):
+                    term = -nu_mv(nu_data, term)
+                    x = x + term
+                return x
+
+            return precond_core(mv, msolve, dot, x0_l, b_l, tol_, maxit,
+                                debug)
         return hform_core(mv, dot, x0_l, b_l, tol_, btol_, maxit, debug)
 
     t1 = time.perf_counter()
     out = jax.block_until_ready(run(*mat_args, x0p, bp, inv_diag, tol, btol,
-                                    *tri_stacked))
+                                    *tri_stacked, *fac_args))
     t2 = time.perf_counter()
     x, status, iters, nrmr, nrmr0, hist = out
     status = int(np.asarray(status).reshape(-1)[0])

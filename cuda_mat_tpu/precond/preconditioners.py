@@ -145,29 +145,9 @@ class NeumannILUPreconditioner:
         Pallas operators in the *same padded layout*, so the whole msolve maps
         padded→padded vectors at kernel bandwidth (zero pads are a fixed point
         of every term)."""
-        from cuda_mat_tpu.formats.coo import COOMatrix
-        from cuda_mat_tpu.formats.csr import CSRMatrix
         from cuda_mat_tpu.ops.operators import make_operator
 
-        mvals = _factorize(csr)
-        rows = np.repeat(np.arange(csr.n, dtype=np.int64), csr.row_lengths)
-        cols = csr.indices.astype(np.int64)
-        lower = cols < rows
-        upper = cols > rows
-        diag = np.zeros(csr.n)
-        diag[rows[cols == rows]] = mvals[cols == rows]
-        if np.any(diag == 0):
-            raise ValueError("ILU(0) factor has a zero diagonal")
-        if not lower.any() or not upper.any():
-            raise ValueError("matrix has an empty strict triangle; use"
-                             " precond='jacobi'")
-        low = CSRMatrix.from_coo(COOMatrix(
-            csr.n, csr.n, rows[lower].astype(np.int32),
-            cols[lower].astype(np.int32), mvals[lower]))
-        upv = mvals[upper] / diag[rows[upper]]  # D^-1 * strict upper
-        up = CSRMatrix.from_coo(COOMatrix(
-            csr.n, csr.n, rows[upper].astype(np.int32),
-            cols[upper].astype(np.int32), upv))
+        low, up, diag = neumann_factors(csr)
         if pad_like is not None:
             from cuda_mat_tpu.ops.pallas_spmv import PallasDIAOperator
 
@@ -244,6 +224,38 @@ class PaddedPreconditioner:
 jax.tree_util.register_dataclass(PaddedPreconditioner,
                                  data_fields=["inner", "op"],
                                  meta_fields=[])
+
+
+def neumann_factors(csr):
+    """ILU(0)-factorize ``csr`` and split the factor for the Neumann series:
+    returns ``(N_l, N_u, diag)`` where ``N_l`` is the strict lower triangle of
+    M (unit-lower L = I + N_l), ``N_u`` is D⁻¹·strict-upper (U = D(I + N_u)),
+    both as host :class:`CSRMatrix`, and ``diag`` is D.  Shared by the
+    single-chip :class:`NeumannILUPreconditioner` and the distributed
+    row-partitioned path (reference msolve role: pbicgstab.cu:92-98)."""
+    from cuda_mat_tpu.formats.coo import COOMatrix
+    from cuda_mat_tpu.formats.csr import CSRMatrix
+
+    mvals = _factorize(csr)
+    rows = np.repeat(np.arange(csr.n, dtype=np.int64), csr.row_lengths)
+    cols = csr.indices.astype(np.int64)
+    lower = cols < rows
+    upper = cols > rows
+    diag = np.zeros(csr.n)
+    diag[rows[cols == rows]] = mvals[cols == rows]
+    if np.any(diag == 0):
+        raise ValueError("ILU(0) factor has a zero diagonal")
+    if not lower.any() or not upper.any():
+        raise ValueError("matrix has an empty strict triangle; use"
+                         " precond='jacobi'")
+    low = CSRMatrix.from_coo(COOMatrix(
+        csr.n, csr.n, rows[lower].astype(np.int32),
+        cols[lower].astype(np.int32), mvals[lower]))
+    upv = mvals[upper] / diag[rows[upper]]  # D^-1 * strict upper
+    up = CSRMatrix.from_coo(COOMatrix(
+        csr.n, csr.n, rows[upper].astype(np.int32),
+        cols[upper].astype(np.int32), upv))
+    return low, up, diag
 
 
 def _factorize(csr) -> np.ndarray:

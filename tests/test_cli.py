@@ -72,3 +72,11 @@ def test_cli_distributed_rejects_ilu(capsys):
     rc = main(["-M", fixture_path("mat900"), "--devices", "4"])
     assert rc == 1
     assert "bjacobi_ilu0" in capsys.readouterr().err
+
+
+def test_cli_distributed_ilu0_neumann(capsys):
+    rc = main(["-M", fixture_path("mat900"), "--devices", "4",
+               "--precond", "ilu0_neumann"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "success" in out

@@ -281,3 +281,43 @@ def test_weak_scaling_harness_runs(capsys):
     out = json.loads(line)
     assert out["metric"] == "weak_scaling_efficiency"
     assert len(out["configs"]) == 2
+
+
+@needs_8
+def test_dist_ilu0_neumann(lap, rng):
+    """Distributed Neumann-series ILU(0): converges and matches the
+    single-chip ilu0_neumann trajectory (VERDICT r1 #3)."""
+    from cuda_mat_tpu.solvers.bicgstab import solve
+
+    b = rng.uniform(1.0, 5.0, lap.n)
+    cfg = SolverConfig(maxit=2000, tol=1e-8, precond="ilu0_neumann",
+                       neumann_terms=3)
+    res_d = dist_bicgstab(lap, b, make_mesh(8), cfg)
+    res_s = solve(lap, b, cfg, format="dia")
+    assert res_d.converged and res_s.converged
+    assert abs(res_d.iters - res_s.iters) <= 1
+    np.testing.assert_allclose(res_d.x, res_s.x, rtol=1e-6, atol=1e-9)
+    r = np.linalg.norm(b - lap.matvec(res_d.x)) / np.linalg.norm(b)
+    assert r < 1e-6
+
+
+@needs_8
+def test_dist_ilu0_neumann_pallas_engine(lap, rng):
+    b = rng.uniform(1.0, 5.0, lap.n)
+    cfg = SolverConfig(maxit=2000, tol=1e-8, precond="ilu0_neumann",
+                       neumann_terms=3)
+    r_p = dist_bicgstab(lap, b, make_mesh(8), cfg, local_engine="pallas")
+    r_x = dist_bicgstab(lap, b, make_mesh(8), cfg, local_engine="xla")
+    assert r_p.converged
+    assert abs(r_p.iters - r_x.iters) <= 3
+    rel = np.linalg.norm(b - lap.matvec(r_p.x)) / np.linalg.norm(b)
+    assert rel < 1e-6
+
+
+def test_dist_ilu0_neumann_rejects_general(rng):
+    from cuda_mat_tpu.models.problems import random_diag_nonzero_system
+
+    a, b = random_diag_nonzero_system(64, prob_of_zero=0.7)
+    cfg = SolverConfig(maxit=50, precond="ilu0_neumann")
+    with pytest.raises(ValueError, match="banded"):
+        dist_bicgstab(a, b, make_mesh(min(4, len(jax.devices()))), cfg)
