@@ -140,6 +140,26 @@ def _psum_dot(axis=ROWS_AXIS):
     return dot
 
 
+def put_global(host_array: np.ndarray, sharding) -> jax.Array:
+    """``device_put`` that also works when the sharding spans multiple
+    processes (multi-host mesh): every process holds the full host array and
+    contributes its addressable shards (SURVEY §2 distributed component 4 —
+    the multi-host runtime path)."""
+    if jax.process_count() > 1:
+        return jax.make_array_from_callback(
+            host_array.shape, sharding, lambda idx: host_array[idx])
+    return jax.device_put(jnp.asarray(host_array), sharding)
+
+
+def fetch_global(arr: jax.Array) -> np.ndarray:
+    """Materialize a (possibly cross-process) sharded array on every host."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+    return np.asarray(arr)
+
+
 def make_dist_spmv(part: RowPartitionedBanded, mesh: Mesh, dtype=jnp.float32,
                    local_engine: str = "xla", interpret: bool = False):
     """Jitted distributed SpMV ``y = A x`` over sharded (npad,) vectors.
@@ -153,8 +173,8 @@ def make_dist_spmv(part: RowPartitionedBanded, mesh: Mesh, dtype=jnp.float32,
     bench)."""
     axis = mesh.axis_names[0]
     vec_sharding = NamedSharding(mesh, P(axis))
-    data = jax.device_put(jnp.asarray(part.data, dtype),
-                          NamedSharding(mesh, P(None, axis)))
+    data = put_global(np.asarray(part.data, np.dtype(dtype)),
+                      NamedSharding(mesh, P(None, axis)))
     if local_engine == "pallas":
         blk, sub = _pallas_blocks(part.halo, interpret)
         local_mv = _make_local_matvec_pallas(part.offsets, part.halo,
@@ -174,8 +194,8 @@ def make_dist_spmv(part: RowPartitionedBanded, mesh: Mesh, dtype=jnp.float32,
         return local_mv(data_l, xl)
 
     def put(v: np.ndarray):
-        return jax.device_put(jnp.asarray(part.pad_vector(np.asarray(v)),
-                                          dtype), vec_sharding)
+        return put_global(np.asarray(part.pad_vector(np.asarray(v)),
+                                     np.dtype(dtype)), vec_sharding)
 
     return (lambda x: spmv(data, x)), put
 
@@ -191,7 +211,7 @@ def dist_spmv(a, x: np.ndarray, mesh: Mesh, dtype=jnp.float64,
     part = RowPartitionedBanded.from_matrix(a, mesh.devices.size, align=align)
     fn, put = make_dist_spmv(part, mesh, dtype, local_engine, interpret)
     y = fn(put(x))
-    return part.unpad_vector(np.asarray(y))
+    return part.unpad_vector(fetch_global(y))
 
 
 def dist_bicgstab(a, b: np.ndarray, mesh: Mesh,
@@ -252,8 +272,8 @@ def dist_bicgstab(a, b: np.ndarray, mesh: Mesh,
 
     vec_sharding = NamedSharding(mesh, P(axis))
     if banded:
-        mat_args = (jax.device_put(jnp.asarray(part.data, dt),
-                                   NamedSharding(mesh, P(None, axis))),)
+        mat_args = (put_global(np.asarray(part.data, dt),
+                               NamedSharding(mesh, P(None, axis))),)
         mat_specs = (P(None, axis),)
         if local_engine == "pallas":
             local_mv_banded = _make_local_matvec_pallas(
@@ -268,10 +288,10 @@ def dist_bicgstab(a, b: np.ndarray, mesh: Mesh,
 
         diag = part.data[part.offsets.index(0)]
     else:
-        mat_args = (jax.device_put(jnp.asarray(part.values, dt),
-                                   NamedSharding(mesh, P(axis, None))),
-                    jax.device_put(jnp.asarray(part.cols),
-                                   NamedSharding(mesh, P(axis, None))))
+        mat_args = (put_global(np.asarray(part.values, dt),
+                               NamedSharding(mesh, P(axis, None))),
+                    put_global(np.asarray(part.cols),
+                               NamedSharding(mesh, P(axis, None))))
         mat_specs = (P(axis, None), P(axis, None))
 
         def make_mv(mat_l):
@@ -285,14 +305,14 @@ def dist_bicgstab(a, b: np.ndarray, mesh: Mesh,
 
         diag = part.diag
 
-    bp = jax.device_put(jnp.asarray(part.pad_vector(np.asarray(b)), dt),
-                        vec_sharding)
+    bp = put_global(np.asarray(part.pad_vector(np.asarray(b)), dt),
+                    vec_sharding)
     if x0 is None:
         x0h = np.zeros(part.npad)
         x0h[: part.n] = 1.0  # reference x0 = ones (pbicgstab.cu:827-832)
     else:
         x0h = part.pad_vector(np.asarray(x0))
-    x0p = jax.device_put(jnp.asarray(x0h, dt), vec_sharding)
+    x0p = put_global(np.asarray(x0h, dt), vec_sharding)
 
     dot = _psum_dot(axis)
     tol = jnp.asarray(config.tol, dt)
@@ -307,7 +327,7 @@ def dist_bicgstab(a, b: np.ndarray, mesh: Mesh,
     if mode == "jacobi":
         if np.any(diag == 0):
             raise ValueError("Jacobi preconditioner requires a nonzero diagonal")
-        inv_diag = jax.device_put(jnp.asarray(1.0 / diag, dt), vec_sharding)
+        inv_diag = put_global(np.asarray(1.0 / diag, dt), vec_sharding)
     elif mode == "ilu0_neumann":
         if not banded:
             raise ValueError("ilu0_neumann requires a banded (DIA) partition;"
@@ -320,8 +340,8 @@ def dist_bicgstab(a, b: np.ndarray, mesh: Mesh,
         for f in (low, up):
             pf = RowPartitionedBanded.from_matrix(f, ndev, align=align)
             assert pf.npad == part.npad and pf.shard_rows == part.shard_rows
-            fac_args.append(jax.device_put(
-                jnp.asarray(pf.data, dt), NamedSharding(mesh, P(None, axis))))
+            fac_args.append(put_global(
+                np.asarray(pf.data, dt), NamedSharding(mesh, P(None, axis))))
             if local_engine == "pallas":
                 fac_mvs.append(_make_local_matvec_pallas(
                     pf.offsets, pf.halo, pf.shard_rows, ndev, axis, blk, sub,
@@ -333,9 +353,9 @@ def dist_bicgstab(a, b: np.ndarray, mesh: Mesh,
         # pad entries a fixed point of every series term)
         invd = np.ones(part.npad)
         invd[: part.n] = 1.0 / diag_m
-        inv_diag = jax.device_put(jnp.asarray(invd, dt), vec_sharding)
+        inv_diag = put_global(np.asarray(invd, dt), vec_sharding)
     else:
-        inv_diag = jax.device_put(jnp.ones(part.npad, dt), vec_sharding)
+        inv_diag = put_global(np.ones(part.npad, dt), vec_sharding)
     if mode != "ilu0_neumann":
         fac_args = []
         fac_mvs = []
@@ -350,7 +370,7 @@ def dist_bicgstab(a, b: np.ndarray, mesh: Mesh,
         tb = min(config.trisolve_block, part.shard_rows)
         stacked = build_block_jacobi_ilu(part, tb, dt)
         shard_leading = NamedSharding(mesh, P(axis))
-        tri_stacked = tuple(jax.device_put(jnp.asarray(s), shard_leading)
+        tri_stacked = tuple(put_global(np.asarray(s), shard_leading)
                             for s in stacked)
         tri_specs = (P(axis),) * 6
     else:
@@ -418,7 +438,7 @@ def dist_bicgstab(a, b: np.ndarray, mesh: Mesh,
     if status == 0:
         status = SolverStatus.MAXIT
     return SolveResult(
-        x=part.unpad_vector(np.asarray(x)), status=SolverStatus(status),
+        x=part.unpad_vector(fetch_global(x)), status=SolverStatus(status),
         iters=int(np.asarray(iters).reshape(-1)[0]),
         residual=float(np.asarray(nrmr).reshape(-1)[0]),
         residual0=float(np.asarray(nrmr0).reshape(-1)[0]),
