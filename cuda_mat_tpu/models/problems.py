@@ -78,6 +78,24 @@ def random_diag_nonzero_system(n: int, prob_of_zero: float = 0.99,
     return a, b
 
 
+def split_form(csr: CSRMatrix):
+    """Decompose ``A = A0 + diag(d)``: returns ``(A0, d)`` with A0 = A minus
+    its stored diagonal.  The algebraic identity the reference's paired
+    fixtures encode (mat3 = mat3_A0 + diag(vec3_d); reference mat3_A0.mtx:7,
+    vec3_d.mtx:7-9), generalized to any square matrix so the split-form
+    solver entry point (pbicgstab.cu:926-1088) can be exercised on every
+    workload."""
+    if csr.n != csr.m:
+        raise ValueError("split_form requires a square matrix")
+    coo = csr.to_coo()
+    off = coo.rows != coo.cols
+    d = np.zeros(csr.n, dtype=csr.data.dtype)
+    d[coo.rows[~off]] = coo.data[~off]
+    a0 = CSRMatrix.from_coo(COOMatrix(csr.n, csr.m, coo.rows[off],
+                                      coo.cols[off], coo.data[off]))
+    return a0, d
+
+
 def grid_laplacian(r: int, c: int) -> CSRMatrix:
     """5-point 2-D Laplacian on an ``r × c`` grid: n = r·c, diag 4,
     off-diagonals −1 at offsets ±1 (broken at grid-row boundaries) and ±c.

@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 import numpy as np
 
 from cuda_mat_tpu.io.mmio import load_mm_sparse_matrix
+from cuda_mat_tpu.models.problems import split_form
 from cuda_mat_tpu.io.vectors import to_dense_vector
 from cuda_mat_tpu.reference.cpu_solvers import (bicg_cpu, bicgstab_hform_cpu,
                                                 bicgstab_ilu_cpu,
@@ -59,6 +60,12 @@ def main():
         "mat900_hform": bicgstab_hform_cpu(mat900, np.ones(900)),
         "mat10000_ilu": bicgstab_ilu_cpu(mat10000, np.ones(10000)),
         "mat900_bicg": bicg_cpu(mat900, np.ones(900)),
+        # remaining entry points on the headline fixture (VERDICT r1 #7)
+        "mat10000_hform": bicgstab_hform_cpu(mat10000, np.ones(10000)),
+        "mat10000_split": bicgstab_split_cpu(
+            *split_form(mat10000), np.ones(10000), np.ones(10000),
+            maxit=2000, tol=1e-6),
+        "mat10000_bicg": bicg_cpu(mat10000, np.ones(10000)),
     }
     for name, r in goldens.items():
         path = os.path.join(OUT, f"{name}.npz")

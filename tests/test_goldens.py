@@ -85,3 +85,90 @@ def test_solver_matches_golden_mat900_ilu(mat900):
     assert r.converged
     assert abs(r.iters - int(g["iters"])) <= 2  # f64 jit vs numpy fp order
     np.testing.assert_allclose(r.x, g["x"], rtol=1e-5, atol=1e-7)
+
+
+# --- remaining entry points on the headline fixture (VERDICT r1 #7) --------
+
+def test_oracle_mat10000_hform_bitwise(mat10000):
+    _assert_bitwise(bicgstab_hform_cpu(mat10000, np.ones(10000)),
+                    _load("mat10000_hform"))
+
+
+def test_oracle_mat10000_split_bitwise(mat10000):
+    from cuda_mat_tpu.models.problems import split_form
+
+    a0, d = split_form(mat10000)
+    _assert_bitwise(
+        bicgstab_split_cpu(a0, d, np.ones(10000), np.ones(10000),
+                           maxit=2000, tol=1e-6), _load("mat10000_split"))
+
+
+def test_oracle_mat10000_bicg_bitwise(mat10000):
+    _assert_bitwise(bicg_cpu(mat10000, np.ones(10000)),
+                    _load("mat10000_bicg"))
+
+
+def test_solver_matches_golden_mat10000_hform(mat10000):
+    g = _load("mat10000_hform")
+    r = bicgstab(mat10000, np.ones(10000), SolverConfig(maxit=2000, tol=1e-6))
+    assert r.converged
+    assert abs(r.iters - int(g["iters"])) <= 6  # late-trajectory fp chaos
+    rel = np.linalg.norm(np.ones(10000) - mat10000.matvec(r.x)) \
+        / np.sqrt(10000.0)
+    assert rel < 1e-5
+
+
+def test_solver_matches_golden_mat10000_split(mat10000):
+    from cuda_mat_tpu.models.problems import split_form
+    from cuda_mat_tpu.solvers.bicgstab import bicgstab_split
+
+    a0, d = split_form(mat10000)
+    g = _load("mat10000_split")
+    r = bicgstab_split(a0, d, np.ones(10000), np.ones(10000),
+                       SolverConfig(maxit=2000, tol=1e-6))
+    assert r.converged
+    assert abs(r.iters - int(g["iters"])) <= 6
+    rel = np.linalg.norm(np.ones(10000) - mat10000.matvec(r.x)) \
+        / np.sqrt(10000.0)
+    assert rel < 1e-5
+
+
+def test_solver_matches_golden_mat10000_bicg(mat10000):
+    from cuda_mat_tpu.solvers.bicg import bicg
+
+    g = _load("mat10000_bicg")
+    r = bicg(mat10000, np.ones(10000), SolverConfig(maxit=2000, tol=1e-6))
+    assert r.converged
+    assert abs(r.iters - int(g["iters"])) <= 6
+    np.testing.assert_allclose(r.x, g["x"], rtol=1e-4, atol=1e-6)
+
+
+# --- f32 iteration-count band (the TPU dtype, VERDICT r1 #7) ---------------
+# The real-TPU numbers live in BASELINE.md; these pin the f32 *behavior* of
+# the same jitted code on the CI backend: convergence at the reference
+# tolerance with an iteration count inside a band around the f64 golden.
+
+def test_f32_band_mat10000_ilu(mat10000):
+    g = _load("mat10000_ilu")
+    r = bicgstab_lu_precond(mat10000, np.ones(10000),
+                            SolverConfig(maxit=2000, tol=1e-6,
+                                         dtype="float32",
+                                         trisolve_block=128))
+    assert r.converged
+    assert abs(r.iters - int(g["iters"])) <= 15
+    # true-residual check: the f32 *recursive* residual drifts ~2-3 decades
+    # from the true residual at n=1e4 (sqrt(n)*eps accumulation; BASELINE.md
+    # documents the same at 1M rows — solve_refined exists to close the gap)
+    rel = np.linalg.norm(np.ones(10000) - mat10000.matvec(
+        r.x.astype(np.float64))) / np.sqrt(10000.0)
+    assert rel < 1e-3
+
+
+def test_f32_band_mat900_ilu(mat900):
+    g = _load("mat900_ilu")
+    r = bicgstab_lu_precond(mat900, np.ones(900),
+                            SolverConfig(maxit=2000, tol=1e-6,
+                                         dtype="float32",
+                                         trisolve_block=128))
+    assert r.converged
+    assert abs(r.iters - int(g["iters"])) <= 10
