@@ -8,9 +8,12 @@ Prints ONE JSON line to stdout:
 The reference publishes no numbers (BASELINE.md); its protocol is solver-only
 timing on the banded workloads.  The BASELINE.json target is >= 0.70 of
 roofline SpMV throughput per chip, so ``vs_baseline`` is the achieved
-fraction of the *measured* HBM copy bandwidth on this chip (>= 0.70 = target
-met; > 1 impossible by construction).  Details (roofline, nnz/s, mat10000
-solve stats) go to stderr.
+fraction of the *measured* single-stream HBM copy bandwidth on this chip
+(>= 0.70 = target met).  NOTE: the copy chain is a *lower bound* on peak HBM
+bandwidth — the per-diagonal multi-stream DMA pattern measures up to ~1.4x
+the single-stream chain (~0.87 of the v5e spec peak, BASELINE.md r2) — so
+``vs_baseline`` may legitimately exceed 1.  Details (roofline, nnz/s,
+mat10000 solve stats) go to stderr.
 
 Byte model for DIA SpMV: each diagonal's values are read once, x is read once
 per diagonal slice, y written once -> (ndiag*n + ndiag*n + n) * itemsize is

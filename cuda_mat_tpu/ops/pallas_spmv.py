@@ -41,24 +41,28 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _dia_block_kernel(*refs, offsets: Tuple[int, ...], block: int, sub: int):
-    # refs = (x_sub_0 .. x_sub_{k+1}, data_ref, y_ref)
-    x_refs = refs[:-2]
-    data_ref, y_ref = refs[-2], refs[-1]
+    # refs = (x_sub_0 .. x_sub_{k+1}, data_ref_0 .. data_ref_{ndiag-1}, y_ref)
+    nd = len(offsets)
+    x_refs = refs[: len(refs) - nd - 1]
+    data_refs = refs[len(refs) - nd - 1: -1]
+    y_ref = refs[-1]
     i = pl.program_id(0)
     g = pl.num_programs(0)
 
     @pl.when((i > 0) & (i < g - 1))
     def _interior():
         # xs covers padded x rows [i*B - S, i*B + B + S); out row j (true row
-        # (i-1)*B + j) with offset `off` reads xs[j + S + off].  Diagonal
-        # values may be stored in a narrower dtype (bf16) than the vectors to
-        # halve the dominant HBM stream; accumulate in the vector dtype.
+        # (i-1)*B + j) with offset `off` reads xs[j + S + off].  Each diagonal
+        # is its own 1-D stream: a stacked (ndiag, B) f32 block wastes
+        # ceil(ndiag/8)*8/ndiag of its DMA on sublane padding (measured 1.4x
+        # end-to-end for ndiag=5 — BASELINE.md r2); 1-D blocks have no
+        # sublane dimension to pad.
         xs = jnp.concatenate([r[:] for r in x_refs])
         vdt = xs.dtype
-        acc = data_ref[0, :].astype(vdt) * jax.lax.slice(
+        acc = data_refs[0][:].astype(vdt) * jax.lax.slice(
             xs, (sub + offsets[0],), (sub + offsets[0] + block,))
         for d, off in enumerate(offsets[1:], start=1):
-            acc = acc + data_ref[d, :].astype(vdt) * jax.lax.slice(
+            acc = acc + data_refs[d][:].astype(vdt) * jax.lax.slice(
                 xs, (sub + off,), (sub + off + block,))
         y_ref[:] = acc
 
@@ -68,20 +72,25 @@ def _dia_block_kernel(*refs, offsets: Tuple[int, ...], block: int, sub: int):
 
 
 @partial(jax.jit, static_argnames=("offsets", "block", "sub", "interpret"))
-def dia_spmv_block_padded(data: jax.Array, x_pad: jax.Array,
+def dia_spmv_block_padded(data, x_pad: jax.Array,
                           offsets: Tuple[int, ...], block: int, sub: int,
                           interpret: bool = False) -> jax.Array:
     """``y_pad = A x_pad`` on block-halo padded vectors.
 
-    ``data [ndiag, npad]`` row-aligned; ``x_pad [npad + 2*block]`` with zero
-    pad blocks; returns the same padded layout with zero pads intact.
+    ``data``: tuple of ndiag row-aligned ``(npad,)`` diagonal streams (or a
+    stacked ``[ndiag, npad]`` array, split here — prefer the tuple: splitting
+    inside jit costs a copy); ``x_pad [npad + 2*block]`` with zero pad
+    blocks; returns the same padded layout with zero pads intact.
 
     ``sub`` is the halo sub-block size (bandwidth <= sub <= block,
     block % sub == 0): x is streamed as ``k+2 = block/sub + 2`` sub-block
     views instead of 3 full-block views, cutting the x overfetch from 3x to
     (1 + 2/k)x of n.
     """
-    ndiag, npad = data.shape
+    if not isinstance(data, (tuple, list)):
+        data = tuple(data[d] for d in range(data.shape[0]))
+    npad = data[0].shape[0]
+    assert len(data) == len(offsets)
     assert npad % block == 0 and block % sub == 0
     assert max(abs(offsets[0]), abs(offsets[-1])) <= sub
     assert x_pad.shape[0] == npad + 2 * block
@@ -99,20 +108,20 @@ def dia_spmv_block_padded(data: jax.Array, x_pad: jax.Array,
 
     x_specs = [pl.BlockSpec((sub,), sub_map(j), memory_space=pltpu.VMEM)
                for j in range(k + 2)]
+    d_specs = [pl.BlockSpec((block,),
+                            lambda i: (jnp.clip(i - 1, 0, nd_blocks - 1),),
+                            memory_space=pltpu.VMEM)
+               for _ in range(len(offsets))]
     kernel = partial(_dia_block_kernel, offsets=offsets, block=block, sub=sub)
     return pl.pallas_call(
         kernel,
         grid=(g,),
-        in_specs=x_specs + [
-            pl.BlockSpec((ndiag, block),
-                         lambda i: (0, jnp.clip(i - 1, 0, nd_blocks - 1)),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=x_specs + d_specs,
         out_specs=pl.BlockSpec((block,), lambda i: (i,),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((npad + 2 * block,), x_pad.dtype),
         interpret=interpret,
-    )(*([x_pad] * (k + 2)), data)
+    )(*([x_pad] * (k + 2)), *data)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -124,10 +133,11 @@ class PallasDIAOperator:
     padded space (padding is invariant under the whole iteration).
     """
 
-    data: jax.Array            # [ndiag, npad] (may be bf16: halves the
-                               # dominant HBM stream; lossless when the matrix
-                               # values are bf16-representable, e.g. the
-                               # Laplacian stencils)
+    data: Tuple[jax.Array, ...]  # ndiag separate (npad,) diagonal streams —
+                                 # 1-D so the DMA has no sublane padding (a
+                                 # stacked (ndiag, B) f32 block wastes
+                                 # 8/ndiag-rounding of its bandwidth;
+                                 # measured 1.4x for ndiag=5, BASELINE.md r2)
     offsets: Tuple[int, ...]   # static
     n: int                     # static true dimension
     block: int                 # static
@@ -141,22 +151,26 @@ class PallasDIAOperator:
 
     @property
     def npad(self) -> int:
-        return self.data.shape[1]
+        return self.data[0].shape[0]
 
     @classmethod
     def from_dia(cls, dia, dtype=jnp.float32, block: int = 32768,
                  data_dtype=None, interpret: bool = False
                  ) -> "PallasDIAOperator":
+        # data_dtype kept for experimentation; bf16 measured slower than f32
+        # in both stacked and per-diagonal layouts (convert cost > bandwidth
+        # saved — BASELINE.md r1/r2), so f32 is the default
         offsets = tuple(int(o) for o in dia.offsets)
         w = max(abs(offsets[0]), abs(offsets[-1])) if offsets else 1
         sub = _round_up(w, 1024)
         block = max(block, sub)
         block = _round_up(block, sub)
         npad = _round_up(dia.n, block)
-        data = np.zeros((len(offsets), npad),
-                        dtype=np.dtype(data_dtype or dtype))
-        data[:, : dia.n] = dia.data
-        return cls(jnp.asarray(data), offsets, dia.n, block, sub,
+        dt = np.dtype(data_dtype or dtype)
+        data = tuple(jnp.asarray(np.pad(np.asarray(dia.data[d], dt),
+                                        (0, npad - dia.n)))
+                     for d in range(len(offsets)))
+        return cls(data, offsets, dia.n, block, sub,
                    str(np.dtype(dtype)), interpret)
 
     def pad_vec(self, v) -> jax.Array:

@@ -173,19 +173,27 @@ def make_dist_spmv(part: RowPartitionedBanded, mesh: Mesh, dtype=jnp.float32,
     bench)."""
     axis = mesh.axis_names[0]
     vec_sharding = NamedSharding(mesh, P(axis))
-    data = put_global(np.asarray(part.data, np.dtype(dtype)),
-                      NamedSharding(mesh, P(None, axis)))
     if local_engine == "pallas":
+        # per-diagonal 1-D streams: no sublane padding in the kernel's data
+        # DMA (see PallasDIAOperator.data)
+        data = tuple(put_global(np.asarray(part.data[k], np.dtype(dtype)),
+                                vec_sharding)
+                     for k in range(len(part.offsets)))
+        data_specs = (P(axis),) * len(data)
         blk, sub = _pallas_blocks(part.halo, interpret)
         local_mv = _make_local_matvec_pallas(part.offsets, part.halo,
                                              part.shard_rows, part.ndev, axis,
                                              blk, sub, interpret)
     else:
-        local_mv = _make_local_matvec(part.offsets, part.halo,
-                                      part.shard_rows, part.ndev, axis)
+        data = (put_global(np.asarray(part.data, np.dtype(dtype)),
+                           NamedSharding(mesh, P(None, axis))),)
+        data_specs = (P(None, axis),)
+        mv_stacked = _make_local_matvec(part.offsets, part.halo,
+                                        part.shard_rows, part.ndev, axis)
+        local_mv = lambda d, xl: mv_stacked(d[0], xl)  # noqa: E731
 
     @jax.jit
-    @partial(shard_map, mesh=mesh, in_specs=(P(None, axis), P(axis)),
+    @partial(shard_map, mesh=mesh, in_specs=(data_specs, P(axis)),
              out_specs=P(axis),
              # pallas_call has no varying-manual-axes info; keep the check on
              # for the XLA engine (a useful correctness net on the common path)
@@ -272,19 +280,27 @@ def dist_bicgstab(a, b: np.ndarray, mesh: Mesh,
 
     vec_sharding = NamedSharding(mesh, P(axis))
     if banded:
-        mat_args = (put_global(np.asarray(part.data, dt),
-                               NamedSharding(mesh, P(None, axis))),)
-        mat_specs = (P(None, axis),)
         if local_engine == "pallas":
+            # per-diagonal 1-D streams (no sublane padding in the kernel DMA)
+            mat_args = tuple(put_global(np.asarray(part.data[k], dt),
+                                        vec_sharding)
+                             for k in range(len(part.offsets)))
+            mat_specs = (P(axis),) * len(mat_args)
             local_mv_banded = _make_local_matvec_pallas(
                 part.offsets, part.halo, part.shard_rows, ndev, axis,
                 blk, sub, interpret)
+
+            def make_mv(mat_l):
+                return lambda xl: local_mv_banded(mat_l, xl)
         else:
+            mat_args = (put_global(np.asarray(part.data, dt),
+                                   NamedSharding(mesh, P(None, axis))),)
+            mat_specs = (P(None, axis),)
             local_mv_banded = _make_local_matvec(part.offsets, part.halo,
                                                  part.shard_rows, ndev, axis)
 
-        def make_mv(mat_l):
-            return lambda xl: local_mv_banded(mat_l[0], xl)
+            def make_mv(mat_l):
+                return lambda xl: local_mv_banded(mat_l[0], xl)
 
         diag = part.data[part.offsets.index(0)]
     else:
@@ -336,19 +352,31 @@ def dist_bicgstab(a, b: np.ndarray, mesh: Mesh,
 
         low, up, diag_m = neumann_factors(a)
         fac_args = []
+        fac_specs = []
+        fac_slices = []
         fac_mvs = []
         for f in (low, up):
             pf = RowPartitionedBanded.from_matrix(f, ndev, align=align)
             assert pf.npad == part.npad and pf.shard_rows == part.shard_rows
-            fac_args.append(put_global(
-                np.asarray(pf.data, dt), NamedSharding(mesh, P(None, axis))))
+            lo = len(fac_args)
             if local_engine == "pallas":
-                fac_mvs.append(_make_local_matvec_pallas(
+                fac_args.extend(put_global(np.asarray(pf.data[k], dt),
+                                           vec_sharding)
+                                for k in range(len(pf.offsets)))
+                fac_specs.extend([P(axis)] * len(pf.offsets))
+                mv_p = _make_local_matvec_pallas(
                     pf.offsets, pf.halo, pf.shard_rows, ndev, axis, blk, sub,
-                    interpret))
+                    interpret)
+                fac_mvs.append(lambda d, xl, _mv=mv_p: _mv(d, xl))
             else:
-                fac_mvs.append(_make_local_matvec(pf.offsets, pf.halo,
-                                                  pf.shard_rows, ndev, axis))
+                fac_args.append(put_global(
+                    np.asarray(pf.data, dt),
+                    NamedSharding(mesh, P(None, axis))))
+                fac_specs.append(P(None, axis))
+                mv_x = _make_local_matvec(pf.offsets, pf.halo, pf.shard_rows,
+                                          ndev, axis)
+                fac_mvs.append(lambda d, xl, _mv=mv_x: _mv(d[0], xl))
+            fac_slices.append(slice(lo, len(fac_args)))
         # padded rows: inv_d = 1 (the factors' identity padding keeps zero
         # pad entries a fixed point of every series term)
         invd = np.ones(part.npad)
@@ -358,6 +386,8 @@ def dist_bicgstab(a, b: np.ndarray, mesh: Mesh,
         inv_diag = put_global(np.ones(part.npad, dt), vec_sharding)
     if mode != "ilu0_neumann":
         fac_args = []
+        fac_specs = []
+        fac_slices = []
         fac_mvs = []
 
     if mode == "bjacobi_ilu0":
@@ -386,7 +416,7 @@ def dist_bicgstab(a, b: np.ndarray, mesh: Mesh,
     @jax.jit
     @partial(shard_map, mesh=mesh,
              in_specs=mat_specs + (P(axis), P(axis), P(axis), P(), P())
-             + tri_specs + (P(None, axis),) * len(fac_args),
+             + tri_specs + tuple(fac_specs),
              out_specs=(P(axis), P(), P(), P(), P(), P()),
              # see make_dist_spmv: only the Pallas local engine lacks vma
              check_vma=(local_engine != "pallas"))
@@ -404,7 +434,8 @@ def dist_bicgstab(a, b: np.ndarray, mesh: Mesh,
             return precond_core(mv, tri.msolve, dot, x0_l, b_l, tol_, maxit,
                                 debug)
         if mode == "ilu0_neumann":
-            nl_data, nu_data = fac_l
+            nl_data = fac_l[fac_slices[0]]
+            nu_data = fac_l[fac_slices[1]]
             nl_mv, nu_mv = fac_mvs
 
             def msolve(f):
