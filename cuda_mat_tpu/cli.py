@@ -213,6 +213,11 @@ def main(argv=None) -> int:
             print(dump_vector(res.x))
         print(f"iterations = {res.iters}, relative residual = "
               f"{res.residual / res.residual0:.3e}")
+        if res.residual_true is not None:
+            # recomputed ||b - A x|| in f64 on the host — the recursive
+            # residual above drifts optimistic in f32 (BASELINE.md)
+            print(f"true relative residual = "
+                  f"{res.residual_true / res.residual0:.3e}")
         print(f"algorithm delta time = {res.dt_alg:.6f} s")
         print(f"setup time (operator+precond) = {res.dt_setup:.6f} s")
         print(f"total delta time = {t_total:.6f} s")

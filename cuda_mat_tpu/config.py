@@ -48,6 +48,10 @@ class SolverConfig:
     # terms k of the truncated Neumann series for precond="ilu0_neumann"
     # (2(k-1) banded SpMVs per application; see precond.NeumannILUPreconditioner)
     neumann_terms: int = 3
+    # recompute ||b - A x|| in float64 on the host after the solve (one host
+    # SpMV, outside dtAlg) and report it as SolveResult.residual_true; the
+    # in-loop recursive residual drifts from the true residual in f32
+    true_residual: bool = True
 
     def replace(self, **kw) -> "SolverConfig":
         return dataclasses.replace(self, **kw)

@@ -187,7 +187,11 @@ void cmt_mm_close(void* handle) { delete static_cast<CsrHandle*>(handle); }
 // ILU(0): in-place on mvals (a copy of the CSR values), same row-wise IKJ
 // elimination restricted to the pattern as the Python oracle
 // (cuda_mat_tpu/reference/cpu_solvers.py ilu0_factorize).
-// Returns 0 on success, or (row+1) if a diagonal entry is missing or zero.
+// Returns 0 on success, (row+1) if a diagonal entry is missing, or (k+1)
+// when pivot k is zero at the moment it is used.  The pivot check must be
+// lazy, not eager: a stored-zero diagonal can become nonzero during
+// elimination before any row uses it (mat3.mtx row 1 is exactly this case,
+// and the reference factorizes it fine).
 int64_t cmt_ilu0(int64_t n, const void* indptr_v, const void* indices_v,
                  void* mvals_v) {
   const int32_t* indptr = static_cast<const int32_t*>(indptr_v);
@@ -202,10 +206,6 @@ int64_t cmt_ilu0(int64_t n, const void* indptr_v, const void* indices_v,
     const int32_t* it = std::lower_bound(first, last, static_cast<int32_t>(i));
     if (it == last || *it != i) return i + 1;
     diag[i] = lo + (it - first);
-    if (m[diag[i]] == 0.0 && i > 0) {
-      // zero stored diagonal only matters once it is used as a pivot; flag
-      // eagerly to match the Python oracle's contract check
-    }
   }
   for (int64_t i = 0; i < n; ++i) {
     const int32_t lo = indptr[i], hi = indptr[i + 1];

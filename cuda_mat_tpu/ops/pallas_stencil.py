@@ -355,6 +355,15 @@ def detect_const_stencil(dia, dc_max: int = 8, dr_max: int = 8):
     n = dia.n
     offs = [int(o) for o in dia.offsets]
     cands = sorted({abs(o) for o in offs if abs(o) > dc_max}, reverse=True)
+    if cands:
+        # cheap short-circuit before the exact O(ndiag*n) verification: every
+        # diagonal of a constant stencil has at most two distinct values
+        # (the scalar + boundary zeros) — a strided sample proves most
+        # non-stencil matrices are not candidates in O(ndiag * n/step)
+        step = max(1, n // 4096)
+        for d in range(len(offs)):
+            if np.unique(dia.data[d, ::step]).size > 2:
+                return None
     idx = np.arange(n, dtype=np.int64)
     for c in cands:
         if n % c or n // c < 2:
@@ -404,6 +413,10 @@ def stencil_layout(c_grid: int, n: int, terms,
     stride = _round_up(c_grid + dcmax, 128)
     r = n // c_grid
     np_true = r * stride
+    if np_true >= 2 ** 31:
+        # the kernel's tail-mask iota compares in int32
+        raise ValueError(f"strided dimension {np_true} overflows the int32"
+                         " tail mask; use PallasDIAOperator instead")
     # strided offsets: off' = dr*stride + dc
     soffs = [((t[0] - t[1]) // c_grid) * stride + t[1] for t in terms]
     sub = _round_up(max(max(abs(o) for o in soffs), 1), 1024)

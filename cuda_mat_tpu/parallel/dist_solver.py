@@ -348,6 +348,13 @@ def dist_bicgstab(a, b: np.ndarray, mesh: Mesh,
         if not banded:
             raise ValueError("ilu0_neumann requires a banded (DIA) partition;"
                              " use jacobi for general sparsity")
+        from cuda_mat_tpu.formats.csr import CSRMatrix
+
+        if not isinstance(a, CSRMatrix):
+            # neumann_factors needs the CSR pattern (row_lengths/indices)
+            raise ValueError(
+                "ilu0_neumann needs a CSRMatrix input (the ILU(0)"
+                f" factorization runs on the CSR pattern); got {type(a).__name__}")
         from cuda_mat_tpu.precond.preconditioners import neumann_factors
 
         low, up, diag_m = neumann_factors(a)
@@ -463,15 +470,21 @@ def dist_bicgstab(a, b: np.ndarray, mesh: Mesh,
     t1 = time.perf_counter()
     out = jax.block_until_ready(run(*mat_args, x0p, bp, inv_diag, tol, btol,
                                     *tri_stacked, *fac_args))
+    # fetch a scalar before stopping the dtAlg timer: over the axon tunnel
+    # block_until_ready can return before kernel completion (CLAUDE.md)
+    residual = float(np.asarray(out[3]).reshape(-1)[0])
     t2 = time.perf_counter()
     x, status, iters, nrmr, nrmr0, hist = out
     status = int(np.asarray(status).reshape(-1)[0])
     if status == 0:
         status = SolverStatus.MAXIT
-    return SolveResult(
+    res = SolveResult(
         x=part.unpad_vector(fetch_global(x)), status=SolverStatus(status),
         iters=int(np.asarray(iters).reshape(-1)[0]),
-        residual=float(np.asarray(nrmr).reshape(-1)[0]),
+        residual=residual,
         residual0=float(np.asarray(nrmr0).reshape(-1)[0]),
         dt_alg=t2 - t1, dt_setup=t1 - t0,
         residual_history=np.asarray(hist).reshape(-1))
+    from cuda_mat_tpu.solvers.bicgstab import _attach_true_residual
+
+    return _attach_true_residual(res, a, b, config)

@@ -177,7 +177,14 @@ def ilu0_factorize(a) -> np.ndarray:
         lo, hi = indptr[i], indptr[i + 1]
         for kk in range(lo, int(diag_pos[i])):
             k = indices[kk]
-            m[kk] = m[kk] / m[diag_pos[k]]
+            pivot = m[diag_pos[k]]
+            if pivot == 0.0:
+                # zero pivot at the moment of use — same contract as the
+                # native cmt_ilu0.  The check must be lazy: a stored-zero
+                # diagonal can become nonzero during elimination before any
+                # row uses it (mat3.mtx row 1), which factorizes fine.
+                raise ValueError(f"ILU(0) zero pivot at row {k}")
+            m[kk] = m[kk] / pivot
             lik = m[kk]
             # subtract lik * U(k, j) for j > k present in row i
             klo, khi = int(diag_pos[k]) + 1, indptr[k + 1]

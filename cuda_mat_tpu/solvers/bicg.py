@@ -91,9 +91,15 @@ def bicg(a, b, config: SolverConfig = DEFAULT_CONFIG,
     x, status, iters, check, norm, hist = jax.block_until_ready(
         _bicg_solve(op, op_t, bd, jnp.asarray(config.tol, dt), config.maxit,
                     config.debug))
+    # scalar fetch before the timer stops: block_until_ready over the axon
+    # tunnel can return before kernel completion (CLAUDE.md)
+    check = float(check)
     t2 = time.perf_counter()
     st = SolverStatus.CONVERGED if int(status) == 1 else SolverStatus.MAXIT
-    return SolveResult(
-        x=np.asarray(x), status=st, iters=int(iters), residual=float(check),
+    res = SolveResult(
+        x=np.asarray(x), status=st, iters=int(iters), residual=check,
         residual0=float(norm), dt_alg=t2 - t1, dt_setup=t1 - t0,
         residual_history=np.asarray(hist))
+    from cuda_mat_tpu.solvers.bicgstab import _attach_true_residual
+
+    return _attach_true_residual(res, a, b, config)

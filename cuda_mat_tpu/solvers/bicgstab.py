@@ -254,35 +254,83 @@ def _as_op(a, dtype, format=None):
             interpret = jax.default_backend() != "tpu"
             try:
                 dia = a.to_dia(max_diags=16)
-                if a.nnz >= 0.4 * dia.ndiag * a.n or format in pallas_formats:
-                    # constant-coefficient grid stencils (the Laplacian
-                    # family) run matrix-free: ~2n bytes/matvec vs the DIA
-                    # kernel's (ndiag+2.5)n — detection is an exact proof,
-                    # so auto-upgrading is always safe
-                    if format != "pallas_dia":
-                        from cuda_mat_tpu.ops.pallas_stencil import (
-                            ConstStencilOperator, detect_const_stencil)
-
-                        if detect_const_stencil(dia) is not None:
-                            return ConstStencilOperator.from_dia(
-                                dia, dtype=dtype, interpret=interpret)
-                        if format == "stencil":
-                            raise ValueError(
-                                "matrix is not a constant-coefficient grid"
-                                " stencil; drop format='stencil'")
-                    from cuda_mat_tpu.ops.pallas_spmv import PallasDIAOperator
-
-                    return PallasDIAOperator.from_dia(
-                        dia, dtype=dtype, interpret=interpret)
             except ValueError:
                 if format in pallas_formats:
                     raise
+                dia = None
+            if dia is not None and (a.nnz >= 0.4 * dia.ndiag * a.n
+                                    or format in pallas_formats):
+                # constant-coefficient grid stencils (the Laplacian family)
+                # run matrix-free: ~2n bytes/matvec vs the DIA kernel's
+                # (ndiag+2.5)n — detection is an exact proof, so
+                # auto-upgrading is always safe
+                if format != "pallas_dia":
+                    from cuda_mat_tpu.ops.pallas_stencil import (
+                        ConstStencilOperator, detect_const_stencil)
+
+                    if detect_const_stencil(dia) is not None:
+                        try:
+                            return ConstStencilOperator.from_dia(
+                                dia, dtype=dtype, interpret=interpret)
+                        except ValueError:
+                            # stencil layout over its VMEM budget (huge
+                            # lcm(sub, stride)); the DIA kernel still applies
+                            if format == "stencil":
+                                raise
+                    elif format == "stencil":
+                        raise ValueError(
+                            "matrix is not a constant-coefficient grid"
+                            " stencil; drop format='stencil'")
+                from cuda_mat_tpu.ops.pallas_spmv import PallasDIAOperator
+
+                return PallasDIAOperator.from_dia(
+                    dia, dtype=dtype, interpret=interpret)
         return make_operator(a, dtype=dtype, format=format)
     return a  # already a device operator
 
 
 def _is_padded(op) -> bool:
     return hasattr(op, "pad_vec")
+
+
+def _force_completion(out) -> None:
+    """Fetch one scalar of the solve output to the host before the dtAlg
+    timer stops.  ``block_until_ready`` over the axon TPU tunnel can return
+    before kernel completion (CLAUDE.md), which would silently turn dtAlg
+    into a dispatch time; a literal value transfer cannot return early."""
+    float(np.asarray(out[3]).reshape(-1)[0])
+
+
+def host_matvec_f64(a, x) -> np.ndarray:
+    """``A x`` in float64 on the host.  For CSR this uses bincount instead of
+    CSRMatrix.matvec's np.add.at — same sum, ~20x faster at bench scale
+    (50M nnz); used by the true-residual report and iterative refinement."""
+    x64 = np.asarray(x, np.float64)
+    if isinstance(a, CSRMatrix):
+        rows = np.repeat(np.arange(a.n), a.row_lengths)
+        return np.bincount(rows, weights=np.asarray(a.data, np.float64)
+                           * x64[a.indices], minlength=a.n)
+    return np.asarray(a.matvec(x64), np.float64)
+
+
+def _host_residual_norm(a, x, b) -> float:
+    """``||b - A x||_2`` recomputed in float64 on the host — the honest
+    convergence number next to the iteration's recursive residual (reference
+    convergence contract pbicgstab.cu:116,147; one SpMV, outside dtAlg)."""
+    return float(np.linalg.norm(np.asarray(b, np.float64)
+                                - host_matvec_f64(a, x)))
+
+
+def _attach_true_residual(res: SolveResult, a, b, config: SolverConfig,
+                          d=None) -> SolveResult:
+    from cuda_mat_tpu.formats.dia import DIAMatrix
+
+    if config.true_residual and isinstance(a, (CSRMatrix, DIAMatrix)):
+        bb = np.asarray(b, np.float64)
+        if d is not None:                     # split form A = A0 + diag(d)
+            bb = bb - np.asarray(d, np.float64) * np.asarray(res.x, np.float64)
+        res.residual_true = _host_residual_norm(a, res.x, bb)
+    return res
 
 
 def _check_shapes(op, b):
@@ -352,9 +400,11 @@ def bicgstab(a, b, config: SolverConfig = DEFAULT_CONFIG,
                        jnp.asarray(config.breakdown_tol, dt), config.maxit,
                        config.debug)
     out = jax.block_until_ready(out)
+    _force_completion(out)
     t2 = time.perf_counter()
     out = (op.unpad_vec(out[0]),) + out[1:] if _is_padded(op) else out
-    return _finish(*out, t2 - t1, t1 - t0, config.maxit)
+    return _attach_true_residual(
+        _finish(*out, t2 - t1, t1 - t0, config.maxit), a, b, config)
 
 
 def bicgstab_split(a0, d, x0, b, config: SolverConfig = DEFAULT_CONFIG,
@@ -383,9 +433,11 @@ def bicgstab_split(a0, d, x0, b, config: SolverConfig = DEFAULT_CONFIG,
                        jnp.asarray(config.breakdown_tol, dt), config.maxit,
                        config.debug)
     out = jax.block_until_ready(out)
+    _force_completion(out)
     t2 = time.perf_counter()
     out = (base.unpad_vec(out[0]),) + out[1:] if padded else out
-    return _finish(*out, t2 - t1, t1 - t0, config.maxit)
+    return _attach_true_residual(
+        _finish(*out, t2 - t1, t1 - t0, config.maxit), a0, b, config, d=d)
 
 
 def bicgstab_lu_precond(a, b, config: SolverConfig = DEFAULT_CONFIG,
@@ -467,6 +519,8 @@ def solve(a, b, config: SolverConfig = DEFAULT_CONFIG,
     out = _precond_solve(op, pre, x0d, bd, jnp.asarray(config.tol, dt),
                          config.maxit, config.debug)
     out = jax.block_until_ready(out)
+    _force_completion(out)
     t2 = time.perf_counter()
     out = (op.unpad_vec(out[0]),) + out[1:] if padded else out
-    return _finish(*out, t2 - t1, t1 - t0, config.maxit)
+    return _attach_true_residual(
+        _finish(*out, t2 - t1, t1 - t0, config.maxit), a, b, config)

