@@ -102,33 +102,66 @@ def _pallas_blocks(w: int, interpret: bool) -> Tuple[int, int]:
 
 
 def _make_local_matvec_pallas(offsets, halo, shard_rows, ndev, axis,
-                              block, sub, interpret):
-    """Per-shard banded matvec: neighbor ``ppermute`` halos scattered into the
-    Pallas block-halo padded layout, local block multiplied by the
-    :func:`cuda_mat_tpu.ops.pallas_spmv.dia_spmv_block_padded` kernel (the
-    ROADMAP 'per-shard Pallas SpMV inside shard_map' item).  The halo values
-    land in the tail/head of the zero pad blocks — exactly where the kernel's
-    shifted window reads them."""
+                              block, sub, interpret, overlap: bool = True):
+    """Per-shard banded matvec with the block-halo Pallas kernel
+    (:func:`cuda_mat_tpu.ops.pallas_spmv.dia_spmv_block_padded` — the ROADMAP
+    'per-shard Pallas SpMV inside shard_map' item).
+
+    ``overlap=True`` (default, needs shard_rows >= 2*halo): the kernel is
+    launched on *local-only* x (zero pad blocks), so it does not depend on
+    the ppermutes and XLA's latency-hiding scheduler can fly the halo
+    exchange over ICI during the kernel; the 2w boundary rows — the only
+    rows that read halo values — are then recomputed in XLA from the halos
+    plus a 2w-deep local edge and overwrite the kernel's edge rows.  The
+    per-row multiply-add sequence is identical (same offsets order), so the
+    result matches the unsplit form bitwise (mirrors the XLA engine's
+    interior/boundary split, SURVEY §2 'overlapped with local-block SpMV';
+    VERDICT r2 next-round #2).
+
+    ``overlap=False`` scatters the halos into the kernel's pad blocks before
+    the launch (the r2 serializing form, kept for the bitwise test)."""
     from cuda_mat_tpu.ops.pallas_spmv import dia_spmv_block_padded
 
     assert shard_rows % block == 0 and block % sub == 0
     w = halo
+    s = shard_rows
     send_right = [(i, i + 1) for i in range(ndev - 1)]
     send_left = [(i + 1, i) for i in range(ndev - 1)]
+    split = overlap and w > 0 and ndev > 1 and s >= 2 * w
+
+    def _edge_rows(data_local, xe, row0):
+        # same accumulation order as _dia_block_kernel's interior loop
+        acc = data_local[0][row0: row0 + w] * jax.lax.dynamic_slice(
+            xe, (w + offsets[0],), (w,))
+        for k, off in enumerate(offsets[1:], start=1):
+            acc = acc + data_local[k][row0: row0 + w] * jax.lax.dynamic_slice(
+                xe, (w + off,), (w,))
+        return acc
 
     def matvec(data_local, xl):
-        x_pad = jnp.zeros(shard_rows + 2 * block, xl.dtype)
-        x_pad = jax.lax.dynamic_update_slice(x_pad, xl, (block,))
         if w > 0 and ndev > 1:
             left_halo = jax.lax.ppermute(xl[-w:], axis, send_right)
             right_halo = jax.lax.ppermute(xl[:w], axis, send_left)
+        x_pad = jnp.zeros(s + 2 * block, xl.dtype)
+        x_pad = jax.lax.dynamic_update_slice(x_pad, xl, (block,))
+        if not split and w > 0 and ndev > 1:
             x_pad = jax.lax.dynamic_update_slice(x_pad, left_halo,
                                                  (block - w,))
             x_pad = jax.lax.dynamic_update_slice(x_pad, right_halo,
-                                                 (block + shard_rows,))
+                                                 (block + s,))
         y_pad = dia_spmv_block_padded(data_local, x_pad, tuple(offsets),
                                       block, sub, interpret)
-        return jax.lax.dynamic_slice(y_pad, (block,), (shard_rows,))
+        y = jax.lax.dynamic_slice(y_pad, (block,), (s,))
+        if split:
+            # rows [0, w) read x rows [-w, 2w); rows [s-w, s) read [s-2w, s+w)
+            y_l = _edge_rows(data_local,
+                             jnp.concatenate([left_halo, xl[: 2 * w]]), 0)
+            y_r = _edge_rows(data_local,
+                             jnp.concatenate([xl[s - 2 * w:], right_halo]),
+                             s - w)
+            y = jax.lax.dynamic_update_slice(y, y_l, (0,))
+            y = jax.lax.dynamic_update_slice(y, y_r, (s - w,))
+        return y
 
     return matvec
 
