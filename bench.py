@@ -135,6 +135,26 @@ def main():
     except Exception as e:  # bench must always emit its JSON line
         info["mat10000_error"] = repr(e)[:200]
 
+    # ---- mat10000 at the REFERENCE protocol: maxit=2000, tol=1e-6 in true
+    # f64 residual terms (example.cpp:179-180; VERDICT r2 next-round #5) —
+    # f32 inner solves + f64 host residual correction between restarts
+    if backend == "tpu":
+        try:
+            from cuda_mat_tpu.solvers.refine import solve_refined
+
+            cfg6 = SolverConfig(maxit=2000, tol=1e-6, dtype="float32",
+                                precond="ilu0_neumann", neumann_terms=3)
+            solve_refined(a, b, cfg6, inner_tol=1e-4)          # compile
+            rr = solve_refined(a, b, cfg6, inner_tol=1e-4)     # warm
+            info.update(
+                mat10000_refined_rel_residual=float(rr.residual
+                                                    / rr.residual0),
+                mat10000_refined_ms=round(rr.dt_alg * 1e3, 2),
+                mat10000_refined_iters=rr.iters,
+                mat10000_refined_status=rr.status.name)
+        except Exception as e:
+            info["mat10000_refined_error"] = repr(e)[:200]
+
     # ---- solve-level headline: 1M-row Neumann solve + refined to 1e-6 -----
     # (VERDICT r1 #6: track e2e solve regressions, not just SpMV; refined
     # demonstrates the reference tolerance — 1e-6 in *true f64 residual*
@@ -164,6 +184,25 @@ def main():
         except Exception as e:
             info["solve_1m_error"] = repr(e)[:200]
 
+        # ---- distributed flagship on a mesh(1): the gap-strided stencil
+        # engine + restrided Neumann factors through shard_map/ppermute/psum
+        # (the multi-chip production config, executed on the one real chip —
+        # VERDICT r2 next-round #1 'bench records a mesh(1) TPU run')
+        try:
+            from cuda_mat_tpu.parallel.mesh import make_mesh
+            from cuda_mat_tpu.parallel.dist_solver import make_dist_bicgstab
+
+            mesh1 = make_mesh(1)
+            dsolver = make_dist_bicgstab(a1, mesh1, cfg1,
+                                         local_engine="stencil")
+            dsolver.solve(b1)                   # compile
+            rd = dsolver.solve(b1)              # warm
+            info.update(dist_stencil_1m_ms=round(rd.dt_alg * 1e3, 1),
+                        dist_stencil_1m_iters=rd.iters,
+                        dist_stencil_1m_status=rd.status.name)
+        except Exception as e:
+            info["dist_stencil_error"] = repr(e)[:200]
+
     print(json.dumps(info), file=sys.stderr)
     out = {
         "metric": "spmv_gbps_per_chip",
@@ -173,7 +212,9 @@ def main():
     }
     # solve-level metrics ride in the same line so the driver records them
     for k in ("stencil_nnz_per_s", "stencil_vs_dia", "solve_1m_ms",
-              "refined_rel_residual", "refined_ms", "mat10000_dt_alg_ms"):
+              "refined_rel_residual", "refined_ms", "mat10000_dt_alg_ms",
+              "mat10000_refined_rel_residual", "mat10000_refined_ms",
+              "dist_stencil_1m_ms"):
         if k in info:
             out[k] = info[k]
     print(json.dumps(out))

@@ -10,16 +10,20 @@ reduced with ``psum``, the whole BiCGSTAB loop living inside one
 """
 
 from cuda_mat_tpu.parallel.mesh import make_mesh, init_distributed
-from cuda_mat_tpu.parallel.partition import RowPartitionedBanded
+from cuda_mat_tpu.parallel.partition import (RowPartitionedBanded,
+                                             RowPartitionedStencil)
 from cuda_mat_tpu.parallel.dist_solver import (
     dist_bicgstab,
     dist_spmv,
+    make_dist_bicgstab,
 )
 
 __all__ = [
     "make_mesh",
     "init_distributed",
     "RowPartitionedBanded",
+    "RowPartitionedStencil",
     "dist_bicgstab",
     "dist_spmv",
+    "make_dist_bicgstab",
 ]

@@ -166,6 +166,79 @@ def _make_local_matvec_pallas(offsets, halo, shard_rows, ndev, axis,
     return matvec
 
 
+def _make_local_matvec_stencil(part, axis, interpret, overlap: bool = True):
+    """Per-shard matvec for the gap-strided constant-stencil Pallas kernel
+    (:func:`cuda_mat_tpu.ops.pallas_stencil.const_stencil_spmv_padded`) — the
+    flagship single-chip matvec (2.06x the DIA kernel, BASELINE.md) made
+    distributed (VERDICT r2 next-round #1).
+
+    The coefficient field is compile-time scalars, so the only sharded state
+    is x itself; the replicated ``(block,)`` gap mask rides along as the one
+    array argument.  The kernel's tail mask takes the shard's global strided
+    base row (``axis_index * shard_rows``) so every shard traces the same
+    program and the strided tail [np_true, npad) stays an exact zero fixed
+    point.
+
+    ``overlap=True`` (default, needs shard_rows >= 2*halo): the kernel
+    launches on local-only x (zero pad blocks) so the two halo ppermutes fly
+    over ICI during the kernel; the w boundary rows at each end — the only
+    rows that read halo values — are recomputed in XLA afterwards with the
+    same multiply-add order, so the result matches the unsplit (scatter)
+    form bitwise.  Replaces reference pbicgstab.cu:104,132."""
+    from cuda_mat_tpu.ops.pallas_stencil import const_stencil_spmv_padded
+
+    w = part.halo
+    s = part.shard_rows
+    block, sub = part.block, part.sub
+    sterms = part.strided_terms
+    np_true = part.np_true
+    ndev = part.ndev
+    assert s % block == 0 and block % sub == 0 and w <= sub
+    send_right = [(i, i + 1) for i in range(ndev - 1)]
+    send_left = [(i + 1, i) for i in range(ndev - 1)]
+    split = overlap and w > 0 and ndev > 1 and s >= 2 * w
+
+    def _edge_rows(xe, gap_slice, row0_global):
+        # same accumulation order as _const_stencil_kernel's interior: terms
+        # in order, then the gap multiply, then the tail select
+        acc = None
+        for (off, scal) in sterms:
+            term = jnp.asarray(scal, xe.dtype) * jax.lax.dynamic_slice(
+                xe, (w + off,), (w,))
+            acc = term if acc is None else acc + term
+        acc = acc * gap_slice
+        t = row0_global + jax.lax.iota(jnp.int32, w)
+        return jnp.where(t < jnp.int32(np_true), acc, jnp.zeros_like(acc))
+
+    def matvec(gapmask, xl):
+        base = (jax.lax.axis_index(axis) * s).astype(jnp.int32)
+        if w > 0 and ndev > 1:
+            left_halo = jax.lax.ppermute(xl[-w:], axis, send_right)
+            right_halo = jax.lax.ppermute(xl[:w], axis, send_left)
+        x_pad = jnp.zeros(s + 2 * block, xl.dtype)
+        x_pad = jax.lax.dynamic_update_slice(x_pad, xl, (block,))
+        if not split and w > 0 and ndev > 1:
+            x_pad = jax.lax.dynamic_update_slice(x_pad, left_halo,
+                                                 (block - w,))
+            x_pad = jax.lax.dynamic_update_slice(x_pad, right_halo,
+                                                 (block + s,))
+        y_pad = const_stencil_spmv_padded(x_pad, gapmask, sterms, np_true,
+                                          block, sub, interpret,
+                                          base=base.reshape(1))
+        y = jax.lax.dynamic_slice(y_pad, (block,), (s,))
+        if split:
+            # rows [0, w) read x rows [-w, 2w); rows [s-w, s) read [s-2w, s+w)
+            y_l = _edge_rows(jnp.concatenate([left_halo, xl[: 2 * w]]),
+                             gapmask[:w], base)
+            y_r = _edge_rows(jnp.concatenate([xl[s - 2 * w:], right_halo]),
+                             gapmask[block - w:], base + (s - w))
+            y = jax.lax.dynamic_update_slice(y, y_l, (0,))
+            y = jax.lax.dynamic_update_slice(y, y_r, (s - w,))
+        return y
+
+    return matvec
+
+
 def _psum_dot(axis=ROWS_AXIS):
     def dot(u, v):
         return jax.lax.psum(jnp.dot(u, v), axis)
@@ -199,14 +272,22 @@ def make_dist_spmv(part: RowPartitionedBanded, mesh: Mesh, dtype=jnp.float32,
 
     ``local_engine``: "xla" = shifted dynamic-slice formulation; "pallas" =
     the block-halo Pallas kernel per shard (build ``part`` with
-    ``align=_pallas_blocks(w, interpret)[0]``).
+    ``align=_pallas_blocks(w, interpret)[0]``); "stencil" = the gap-strided
+    constant-stencil kernel (build ``part`` with
+    :class:`~cuda_mat_tpu.parallel.partition.RowPartitionedStencil`).
 
     Returns ``(fn, put)`` where ``put(v)`` shards a host vector and
     ``fn(x_sharded)`` computes the product (used by tests and the weak-scaling
     bench)."""
     axis = mesh.axis_names[0]
     vec_sharding = NamedSharding(mesh, P(axis))
-    if local_engine == "pallas":
+    if local_engine == "stencil":
+        data = (put_global(np.asarray(part.gapmask, np.dtype(dtype)),
+                           NamedSharding(mesh, P())),)
+        data_specs = (P(),)
+        mv_st = _make_local_matvec_stencil(part, axis, interpret)
+        local_mv = lambda d, xl: mv_st(d[0], xl)  # noqa: E731
+    elif local_engine == "pallas":
         # per-diagonal 1-D streams: no sublane padding in the kernel's data
         # DMA (see PallasDIAOperator.data)
         data = tuple(put_global(np.asarray(part.data[k], np.dtype(dtype)),
@@ -230,7 +311,7 @@ def make_dist_spmv(part: RowPartitionedBanded, mesh: Mesh, dtype=jnp.float32,
              out_specs=P(axis),
              # pallas_call has no varying-manual-axes info; keep the check on
              # for the XLA engine (a useful correctness net on the common path)
-             check_vma=(local_engine != "pallas"))
+             check_vma=(local_engine not in ("pallas", "stencil")))
     def spmv(data_l, xl):
         return local_mv(data_l, xl)
 
@@ -245,6 +326,12 @@ def dist_spmv(a, x: np.ndarray, mesh: Mesh, dtype=jnp.float64,
               local_engine: str = "xla", interpret: bool = False
               ) -> np.ndarray:
     """One-shot distributed SpMV for a host matrix/vector (convenience)."""
+    if local_engine == "stencil":
+        from cuda_mat_tpu.parallel.partition import RowPartitionedStencil
+
+        part = RowPartitionedStencil.from_matrix(a, mesh.devices.size)
+        fn, put = make_dist_spmv(part, mesh, dtype, local_engine, interpret)
+        return part.unpad_vector(fetch_global(fn(put(x))))
     align = 1
     if local_engine == "pallas":
         dia = a.to_dia(max_diags=128) if hasattr(a, "to_dia") else a
@@ -255,12 +342,84 @@ def dist_spmv(a, x: np.ndarray, mesh: Mesh, dtype=jnp.float64,
     return part.unpad_vector(fetch_global(y))
 
 
+class DistBicgstabSolver:
+    """A prepared (partitioned + jitted) distributed solver.
+
+    Built once by :func:`make_dist_bicgstab`; :meth:`solve` may then be
+    called for any number of right-hand sides without re-tracing or
+    re-compiling (the jitted ``run`` closure is cached on this object —
+    one-shot :func:`dist_bicgstab` pays the trace+compile on every call,
+    which dominates dtAlg at bench scale).  Mirrors the reference's
+    setup/solve phase split (pbicgstab.cu:335-363 vs :366)."""
+
+    def __init__(self, a, part, run, mat_args, inv_diag, tol, btol,
+                 tri_stacked, fac_args, vec_sharding, dt, config, dt_setup):
+        self.a = a
+        self.part = part
+        self._run = run
+        self._mat_args = mat_args
+        self._inv_diag = inv_diag
+        self._tol = tol
+        self._btol = btol
+        self._tri_stacked = tri_stacked
+        self._fac_args = fac_args
+        self._vec_sharding = vec_sharding
+        self._dt = dt
+        self._config = config
+        self.dt_setup = dt_setup
+
+    def solve(self, b: np.ndarray,
+              x0: Optional[np.ndarray] = None) -> SolveResult:
+        part, dt = self.part, self._dt
+        bp = put_global(np.asarray(part.pad_vector(np.asarray(b)), dt),
+                        self._vec_sharding)
+        # reference x0 = ones (pbicgstab.cu:827-832)
+        x0h = part.pad_vector(np.ones(part.n) if x0 is None
+                              else np.asarray(x0))
+        x0p = put_global(np.asarray(x0h, dt), self._vec_sharding)
+        t1 = time.perf_counter()
+        out = jax.block_until_ready(self._run(
+            *self._mat_args, x0p, bp, self._inv_diag, self._tol, self._btol,
+            *self._tri_stacked, *self._fac_args))
+        # fetch a scalar before stopping the dtAlg timer: over the axon
+        # tunnel block_until_ready can return before completion (CLAUDE.md)
+        residual = float(np.asarray(out[3]).reshape(-1)[0])
+        t2 = time.perf_counter()
+        x, status, iters, nrmr, nrmr0, hist = out
+        status = int(np.asarray(status).reshape(-1)[0])
+        if status == 0:
+            status = SolverStatus.MAXIT
+        res = SolveResult(
+            x=part.unpad_vector(fetch_global(x)),
+            status=SolverStatus(status),
+            iters=int(np.asarray(iters).reshape(-1)[0]),
+            residual=residual,
+            residual0=float(np.asarray(nrmr0).reshape(-1)[0]),
+            dt_alg=t2 - t1, dt_setup=self.dt_setup,
+            residual_history=np.asarray(hist).reshape(-1))
+        from cuda_mat_tpu.solvers.bicgstab import _attach_true_residual
+
+        return _attach_true_residual(res, self.a, b, self._config)
+
+
 def dist_bicgstab(a, b: np.ndarray, mesh: Mesh,
                   config: SolverConfig = DEFAULT_CONFIG,
                   x0: Optional[np.ndarray] = None,
                   halo_mode: str = "auto",
                   local_engine: str = "auto") -> SolveResult:
-    """Row-partitioned BiCGSTAB over the mesh.
+    """One-shot row-partitioned BiCGSTAB over the mesh (partition + compile +
+    solve; use :func:`make_dist_bicgstab` to reuse the compiled solver across
+    right-hand sides)."""
+    return make_dist_bicgstab(a, mesh, config, halo_mode,
+                              local_engine).solve(b, x0)
+
+
+def make_dist_bicgstab(a, mesh: Mesh,
+                       config: SolverConfig = DEFAULT_CONFIG,
+                       halo_mode: str = "auto",
+                       local_engine: str = "auto") -> DistBicgstabSolver:
+    """Partition ``a``, build the preconditioner state, and jit the solver
+    loop for row-partitioned BiCGSTAB over the mesh.
 
     ``config.precond``: "none" runs the h-form loop (parity with
     :func:`cuda_mat_tpu.solvers.bicgstab.bicgstab`); "jacobi" runs the
@@ -279,22 +438,59 @@ def dist_bicgstab(a, b: np.ndarray, mesh: Mesh,
     and an all-gather of x for general sparsity; "ppermute"/"allgather" force
     one (SURVEY §5 "ppermute/all-gather for halo x segments").
 
-    ``local_engine``: the per-shard banded SpMV — "xla" (shifted
-    dynamic-slices), "pallas" (block-halo Pallas kernel, interpreted off-TPU),
-    or "auto" (pallas on a TPU backend).
+    ``local_engine``: the per-shard SpMV — "xla" (shifted dynamic-slices),
+    "pallas" (block-halo Pallas DIA kernel, interpreted off-TPU), "stencil"
+    (the gap-strided constant-stencil Pallas kernel — the flagship
+    single-chip matvec, 2.06x the DIA kernel on the 10M-row Laplacian,
+    distributed per VERDICT r2 #1; requires a constant-coefficient grid
+    stencil and precond none/jacobi/ilu0_neumann), or "auto" (on a TPU
+    backend: stencil when detection proves the structure, else pallas).
     """
     t0 = time.perf_counter()
     dt = jnp.dtype(config.dtype)
     axis = mesh.axis_names[0]
     ndev = mesh.devices.size
-    if local_engine == "auto":
+    auto_engine = local_engine == "auto"
+    if auto_engine:
         local_engine = "pallas" if jax.default_backend() == "tpu" else "xla"
     interpret = jax.default_backend() != "tpu"
 
+    mode = config.precond or "none"
+    if mode == "identity":
+        mode = "none"
+    if mode not in ("none", "jacobi", "bjacobi_ilu0", "ilu0_neumann"):
+        raise ValueError(
+            f"distributed solver supports precond none/jacobi/bjacobi_ilu0/"
+            f"ilu0_neumann, got {config.precond!r}")
+
     banded = None
+    stencil = False
     align = 1
     blk = sub = None
-    if halo_mode in ("auto", "ppermute"):
+    if local_engine == "stencil" or (auto_engine and local_engine == "pallas"):
+        # gap-strided constant-stencil engine: the preconditioners that
+        # compose with its strided coordinates are none/jacobi/ilu0_neumann
+        # (bjacobi_ilu0's blocked trisolve works in true coordinates)
+        if mode == "bjacobi_ilu0" or halo_mode == "allgather":
+            if local_engine == "stencil":
+                raise ValueError(
+                    "local_engine='stencil' requires ppermute halos and"
+                    " precond none/jacobi/ilu0_neumann")
+            local_engine = "pallas"
+        else:
+            from cuda_mat_tpu.parallel.partition import RowPartitionedStencil
+
+            try:
+                part = RowPartitionedStencil.from_matrix(a, ndev)
+                banded = True
+                stencil = True
+                local_engine = "stencil"
+                blk, sub = part.block, part.sub
+            except ValueError:
+                if local_engine == "stencil":
+                    raise
+                local_engine = "pallas"  # auto: not a stencil — DIA kernel
+    if banded is None and halo_mode in ("auto", "ppermute"):
         try:
             if local_engine == "pallas":
                 dia = a.to_dia(max_diags=128) if hasattr(a, "to_dia") else a
@@ -313,7 +509,21 @@ def dist_bicgstab(a, b: np.ndarray, mesh: Mesh,
 
     vec_sharding = NamedSharding(mesh, P(axis))
     if banded:
-        if local_engine == "pallas":
+        if stencil:
+            mat_args = (put_global(np.asarray(part.gapmask, dt),
+                                   NamedSharding(mesh, P())),)
+            mat_specs = (P(),)
+            mv_stencil = _make_local_matvec_stencil(part, axis, interpret)
+
+            def make_mv(mat_l):
+                return lambda xl: mv_stencil(mat_l[0], xl)
+
+            # a constant stencil's diagonal is its offset-0 scalar everywhere
+            # (dc=0 never leaves the grid); gap/tail cells get 1 so padding
+            # stays a fixed point of the Jacobi multiply
+            d0 = next((t[2] for t in part.terms if t[0] == 0), 0.0)
+            diag = part.strided_scatter(np.full(part.n, d0), fill=1.0)
+        elif local_engine == "pallas":
             # per-diagonal 1-D streams (no sublane padding in the kernel DMA)
             mat_args = tuple(put_global(np.asarray(part.data[k], dt),
                                         vec_sharding)
@@ -335,7 +545,8 @@ def dist_bicgstab(a, b: np.ndarray, mesh: Mesh,
             def make_mv(mat_l):
                 return lambda xl: local_mv_banded(mat_l[0], xl)
 
-        diag = part.data[part.offsets.index(0)]
+        if not stencil:
+            diag = part.data[part.offsets.index(0)]
     else:
         mat_args = (put_global(np.asarray(part.values, dt),
                                NamedSharding(mesh, P(axis, None))),
@@ -354,25 +565,9 @@ def dist_bicgstab(a, b: np.ndarray, mesh: Mesh,
 
         diag = part.diag
 
-    bp = put_global(np.asarray(part.pad_vector(np.asarray(b)), dt),
-                    vec_sharding)
-    if x0 is None:
-        x0h = np.zeros(part.npad)
-        x0h[: part.n] = 1.0  # reference x0 = ones (pbicgstab.cu:827-832)
-    else:
-        x0h = part.pad_vector(np.asarray(x0))
-    x0p = put_global(np.asarray(x0h, dt), vec_sharding)
-
     dot = _psum_dot(axis)
     tol = jnp.asarray(config.tol, dt)
     btol = jnp.asarray(config.breakdown_tol, dt)
-    mode = config.precond or "none"
-    if mode in ("identity",):
-        mode = "none"
-    if mode not in ("none", "jacobi", "bjacobi_ilu0", "ilu0_neumann"):
-        raise ValueError(
-            f"distributed solver supports precond none/jacobi/bjacobi_ilu0/"
-            f"ilu0_neumann, got {config.precond!r}")
     if mode == "jacobi":
         if np.any(diag == 0):
             raise ValueError("Jacobi preconditioner requires a nonzero diagonal")
@@ -396,10 +591,22 @@ def dist_bicgstab(a, b: np.ndarray, mesh: Mesh,
         fac_slices = []
         fac_mvs = []
         for f in (low, up):
-            pf = RowPartitionedBanded.from_matrix(f, ndev, align=align)
+            if stencil:
+                # re-index the factor into the stencil's gap-strided
+                # coordinates; the restrided DIA data's zero slots mask
+                # gaps/tail, so padding stays a fixed point of each term
+                # (mirrors NeumannILUPreconditioner.from_csr pad_like)
+                from cuda_mat_tpu.ops.pallas_stencil import restride_dia
+
+                fd = restride_dia(f.to_dia(max_diags=128), part.c_grid,
+                                  part.stride)
+                pf = RowPartitionedBanded.from_matrix(fd, ndev,
+                                                      align=part.shard_rows)
+            else:
+                pf = RowPartitionedBanded.from_matrix(f, ndev, align=align)
             assert pf.npad == part.npad and pf.shard_rows == part.shard_rows
             lo = len(fac_args)
-            if local_engine == "pallas":
+            if local_engine in ("pallas", "stencil"):
                 fac_args.extend(put_global(np.asarray(pf.data[k], dt),
                                            vec_sharding)
                                 for k in range(len(pf.offsets)))
@@ -417,10 +624,13 @@ def dist_bicgstab(a, b: np.ndarray, mesh: Mesh,
                                           ndev, axis)
                 fac_mvs.append(lambda d, xl, _mv=mv_x: _mv(d[0], xl))
             fac_slices.append(slice(lo, len(fac_args)))
-        # padded rows: inv_d = 1 (the factors' identity padding keeps zero
-        # pad entries a fixed point of every series term)
-        invd = np.ones(part.npad)
-        invd[: part.n] = 1.0 / diag_m
+        # padded/gap cells: inv_d = 1 (the factors' identity padding / zero
+        # slots keep zero pad entries a fixed point of every series term)
+        if stencil:
+            invd = part.strided_scatter(1.0 / diag_m, fill=1.0)
+        else:
+            invd = np.ones(part.npad)
+            invd[: part.n] = 1.0 / diag_m
         inv_diag = put_global(np.asarray(invd, dt), vec_sharding)
     else:
         inv_diag = put_global(np.ones(part.npad, dt), vec_sharding)
@@ -459,7 +669,7 @@ def dist_bicgstab(a, b: np.ndarray, mesh: Mesh,
              + tri_specs + tuple(fac_specs),
              out_specs=(P(axis), P(), P(), P(), P(), P()),
              # see make_dist_spmv: only the Pallas local engine lacks vma
-             check_vma=(local_engine != "pallas"))
+             check_vma=(local_engine not in ("pallas", "stencil")))
     def run(*args):
         mat_l = args[:n_mat]
         x0_l, b_l, inv_diag_l, tol_, btol_ = args[n_mat:n_mat + 5]
@@ -500,24 +710,6 @@ def dist_bicgstab(a, b: np.ndarray, mesh: Mesh,
                                 debug)
         return hform_core(mv, dot, x0_l, b_l, tol_, btol_, maxit, debug)
 
-    t1 = time.perf_counter()
-    out = jax.block_until_ready(run(*mat_args, x0p, bp, inv_diag, tol, btol,
-                                    *tri_stacked, *fac_args))
-    # fetch a scalar before stopping the dtAlg timer: over the axon tunnel
-    # block_until_ready can return before kernel completion (CLAUDE.md)
-    residual = float(np.asarray(out[3]).reshape(-1)[0])
-    t2 = time.perf_counter()
-    x, status, iters, nrmr, nrmr0, hist = out
-    status = int(np.asarray(status).reshape(-1)[0])
-    if status == 0:
-        status = SolverStatus.MAXIT
-    res = SolveResult(
-        x=part.unpad_vector(fetch_global(x)), status=SolverStatus(status),
-        iters=int(np.asarray(iters).reshape(-1)[0]),
-        residual=residual,
-        residual0=float(np.asarray(nrmr0).reshape(-1)[0]),
-        dt_alg=t2 - t1, dt_setup=t1 - t0,
-        residual_history=np.asarray(hist).reshape(-1))
-    from cuda_mat_tpu.solvers.bicgstab import _attach_true_residual
-
-    return _attach_true_residual(res, a, b, config)
+    return DistBicgstabSolver(a, part, run, mat_args, inv_diag, tol, btol,
+                              tri_stacked, fac_args, vec_sharding, dt,
+                              config, time.perf_counter() - t0)

@@ -79,6 +79,98 @@ class RowPartitionedBanded:
 
 
 @dataclasses.dataclass
+class RowPartitionedStencil:
+    """Row partition of a constant-coefficient grid stencil in the
+    gap-strided layout of
+    :class:`~cuda_mat_tpu.ops.pallas_stencil.ConstStencilOperator`.
+
+    The flagship single-chip matvec (matrix-free, ~2.2n bytes/matvec —
+    BASELINE.md) row-partitions naturally: shard boundaries fall on
+    block multiples of the *strided* dimension, the halo is the
+    ``max |strided offset|`` (≲ one grid row per side), and the only
+    per-shard array state is the replicated ``(block,)`` gap mask — there
+    are no coefficient streams to shard at all.  Replaces the same hot-loop
+    call sites as the distributed DIA path (reference pbicgstab.cu:104,132;
+    VERDICT r2 next-round #1).
+
+    Padding semantics: the strided tail ``[np_true, npad)`` is zero and the
+    kernel's (shard-base-aware) tail mask keeps it an exact fixed point of
+    the iteration, so no identity rows are needed.
+    """
+
+    n: int                  # true dimension R*C
+    c_grid: int             # grid row length C
+    stride: int             # strided row length S (multiple of 128)
+    np_true: int            # R*S — global strided length
+    npad: int               # ndev * shard_rows (block-aligned strided length)
+    ndev: int
+    shard_rows: int         # strided rows per shard (multiple of block)
+    halo: int               # max |strided offset| (<= sub)
+    block: int
+    sub: int
+    terms: Tuple[Tuple[int, int, float], ...]   # true-coord (off, dc, scal)
+    strided_terms: Tuple[Tuple[int, float], ...]  # (off', scal)
+    gapmask: np.ndarray     # (block,) 0/1 — identical for every block/shard
+
+    @classmethod
+    def from_matrix(cls, a, ndev: int, block_target: int = 262144,
+                    max_diags: int = 128) -> "RowPartitionedStencil":
+        from cuda_mat_tpu.ops.pallas_stencil import (detect_const_stencil,
+                                                     stencil_layout)
+
+        dia = a.to_dia(max_diags=max_diags) if isinstance(a, CSRMatrix) else a
+        assert isinstance(dia, DIAMatrix)
+        det = detect_const_stencil(dia)
+        if det is None:
+            raise ValueError(
+                "matrix is not a constant-coefficient grid stencil; use"
+                " RowPartitionedBanded / RowPartitionedELL instead")
+        c_grid, terms = det
+        # keep blocks within one shard's worth of rows so the partition
+        # stays balanced (stencil_layout never goes below its base block)
+        block_target = min(block_target, max(1, -(-dia.n // ndev)))
+        stride, sub, block, np_true, _, sterms = stencil_layout(
+            c_grid, dia.n, terms, block_target)
+        shard_rows = -(-(-(-np_true // ndev)) // block) * block
+        npad = shard_rows * ndev
+        if npad >= 2 ** 31:
+            raise ValueError(f"padded strided dimension {npad} overflows the"
+                             " kernel's int32 row arithmetic")
+        w = max(abs(t[0]) for t in sterms)
+        if w > shard_rows:
+            raise ValueError(
+                f"strided halo {w} exceeds shard size {shard_rows}: neighbor"
+                f"-only halo exchange impossible with {ndev} shards")
+        gap = np.zeros(block, dtype=np.float32)
+        gap.reshape(block // stride, stride)[:, :c_grid] = 1.0
+        return cls(dia.n, c_grid, stride, np_true, npad, ndev, shard_rows,
+                   w, block, sub, terms, sterms, gap)
+
+    def pad_vector(self, v: np.ndarray) -> np.ndarray:
+        r = self.n // self.c_grid
+        g = np.zeros((r, self.stride), dtype=v.dtype)
+        g[:, : self.c_grid] = np.asarray(v).reshape(r, self.c_grid)
+        out = np.zeros(self.npad, dtype=v.dtype)
+        out[: self.np_true] = g.reshape(-1)
+        return out
+
+    def unpad_vector(self, v: np.ndarray) -> np.ndarray:
+        r = self.n // self.c_grid
+        g = np.asarray(v)[: self.np_true].reshape(r, self.stride)
+        return g[:, : self.c_grid].reshape(-1)
+
+    def strided_scatter(self, v: np.ndarray, fill: float = 0.0) -> np.ndarray:
+        """Scatter a true-coordinate vector into the padded strided layout
+        with ``fill`` in gap/tail cells (e.g. 1.0 for an inverse diagonal)."""
+        r = self.n // self.c_grid
+        g = np.full((r, self.stride), fill, dtype=v.dtype)
+        g[:, : self.c_grid] = np.asarray(v).reshape(r, self.c_grid)
+        out = np.full(self.npad, fill, dtype=v.dtype)
+        out[: self.np_true] = g.reshape(-1)
+        return out
+
+
+@dataclasses.dataclass
 class RowPartitionedELL:
     """Row partition of a *general* sparse matrix in ELL layout.
 

@@ -362,3 +362,165 @@ def test_pallas_overlap_split_matches_unsplit(lap, rng):
     np.testing.assert_allclose(
         part.unpad_vector(out[1]),
         lap.matvec(np.asarray(part.unpad_vector(x))), rtol=1e-12, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Distributed gap-strided constant-stencil engine (VERDICT r2 #1)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def grid():
+    from cuda_mat_tpu.models.problems import grid_laplacian
+
+    return grid_laplacian(64, 126)  # n=8064; stride=128, np_true=8192
+
+
+def test_partition_stencil_plan(grid):
+    from cuda_mat_tpu.parallel.partition import RowPartitionedStencil
+
+    part = RowPartitionedStencil.from_matrix(grid, 8)
+    assert part.stride == 128 and part.np_true == 64 * 128
+    assert part.shard_rows % part.block == 0
+    assert part.npad == 8 * part.shard_rows
+    assert part.block % part.stride == 0          # per-block gap mask
+    assert part.halo <= part.sub
+    # gap mask: 1 on true columns, 0 on gap columns, every stride period
+    gm = part.gapmask.reshape(-1, part.stride)
+    np.testing.assert_array_equal(gm[:, :126], 1.0)
+    np.testing.assert_array_equal(gm[:, 126:], 0.0)
+    # round trip through the strided layout
+    v = np.arange(part.n, dtype=np.float64)
+    np.testing.assert_array_equal(part.unpad_vector(part.pad_vector(v)), v)
+
+
+def test_partition_stencil_rejects_nonstencil(lap):
+    from cuda_mat_tpu.parallel.partition import RowPartitionedStencil
+
+    # banded_laplacian(40) is a 1-D band with varying diagonal data pattern
+    from cuda_mat_tpu.models.problems import random_diag_nonzero_system
+
+    a, _ = random_diag_nonzero_system(64, prob_of_zero=0.7)
+    with pytest.raises(ValueError):
+        RowPartitionedStencil.from_matrix(a, 4)
+
+
+@needs_8
+@pytest.mark.parametrize("ndev", [2, 4, 8])
+def test_dist_spmv_stencil_engine(grid, ndev, rng):
+    """Distributed gap-strided stencil kernel == host matvec, including the
+    ppermute halo hand-off and the shard-base tail mask."""
+    mesh = make_mesh(ndev)
+    x = rng.standard_normal(grid.n)
+    y = dist_spmv(grid, x, mesh, local_engine="stencil", interpret=True)
+    np.testing.assert_allclose(y, grid.matvec(x), rtol=1e-12, atol=1e-12)
+
+
+@needs_8
+def test_dist_spmv_stencil_global_tail(rng):
+    """np_true not divisible by the shard size: the global strided tail
+    [np_true, npad) lives in the last shard and must be masked with the
+    shard's global base row, not its local one."""
+    from cuda_mat_tpu.models.problems import grid_laplacian
+
+    a = grid_laplacian(63, 126)  # np_true=8064, shard_rows=1024, npad=8192
+    mesh = make_mesh(8)
+    x = rng.standard_normal(a.n)
+    y = dist_spmv(a, x, mesh, local_engine="stencil", interpret=True)
+    np.testing.assert_allclose(y, a.matvec(x), rtol=1e-12, atol=1e-12)
+
+
+@needs_8
+def test_dist_bicgstab_stencil_matches_single_chip(grid, rng):
+    """Distributed stencil-engine solve tracks the single-chip
+    ConstStencilOperator solve (same kernel, psum dots reorder reductions)."""
+    from cuda_mat_tpu.solvers.bicgstab import solve
+
+    b = rng.uniform(1.0, 5.0, grid.n)
+    cfg = SolverConfig(maxit=1000, tol=1e-8)
+    r_d = dist_bicgstab(grid, b, make_mesh(8), cfg, local_engine="stencil")
+    r_s = solve(grid, b, cfg, format="stencil")
+    assert r_d.converged and r_s.converged
+    # ~230 unpreconditioned iterations amplify the psum reduction-order
+    # difference late in the trajectory; the preconditioned test below holds
+    # a +-3 band at ~70 iterations
+    assert abs(r_d.iters - r_s.iters) <= 0.1 * r_s.iters
+    np.testing.assert_allclose(r_d.x, r_s.x, rtol=1e-6, atol=1e-8)
+    rel = np.linalg.norm(b - grid.matvec(r_d.x)) / np.linalg.norm(b)
+    assert rel < 1e-7
+
+
+@needs_8
+def test_dist_stencil_ilu0_neumann(grid, rng):
+    """The TPU production config — flagship stencil matvec + restrided
+    Neumann-ILU(0) factors — distributes and tracks the single-chip
+    trajectory."""
+    from cuda_mat_tpu.solvers.bicgstab import solve
+
+    b = rng.uniform(1.0, 5.0, grid.n)
+    cfg = SolverConfig(maxit=2000, tol=1e-8, precond="ilu0_neumann",
+                       neumann_terms=3)
+    r_d = dist_bicgstab(grid, b, make_mesh(8), cfg, local_engine="stencil")
+    r_s = solve(grid, b, cfg, format="stencil")
+    assert r_d.converged and r_s.converged
+    # per-iteration residuals agree to ~1e-15; the psum reduction-order noise
+    # is amplified by the trajectory's late-stage sensitivity (~80 iters)
+    assert abs(r_d.iters - r_s.iters) <= max(3, 0.15 * r_s.iters)
+    np.testing.assert_allclose(r_d.x, r_s.x, rtol=1e-6, atol=1e-8)
+    rel = np.linalg.norm(b - grid.matvec(r_d.x)) / np.linalg.norm(b)
+    assert rel < 1e-7
+
+
+def test_dist_stencil_rejects_bjacobi(grid):
+    cfg = SolverConfig(maxit=10, precond="bjacobi_ilu0")
+    with pytest.raises(ValueError, match="stencil"):
+        dist_bicgstab(grid, np.ones(grid.n),
+                      make_mesh(min(4, len(jax.devices()))), cfg,
+                      local_engine="stencil")
+
+
+def test_dist_stencil_rejects_nonstencil(rng):
+    from cuda_mat_tpu.models.problems import random_diag_nonzero_system
+
+    a, b = random_diag_nonzero_system(64, prob_of_zero=0.7)
+    cfg = SolverConfig(maxit=10)
+    with pytest.raises(ValueError):
+        dist_bicgstab(a, b, make_mesh(min(4, len(jax.devices()))), cfg,
+                      local_engine="stencil")
+
+
+@needs_8
+def test_stencil_overlap_split_matches_unsplit(grid, rng):
+    """The stencil engine's overlap form (kernel on local-only x + XLA
+    boundary-row recompute) is bitwise identical to the scatter form — same
+    multiply-add order, different dependency graph."""
+    from functools import partial as _partial
+
+    from jax.sharding import PartitionSpec as P
+
+    from cuda_mat_tpu.parallel.dist_solver import _make_local_matvec_stencil
+    from cuda_mat_tpu.parallel.partition import RowPartitionedStencil
+
+    ndev = 4
+    mesh = make_mesh(ndev)
+    axis = mesh.axis_names[0]
+    part = RowPartitionedStencil.from_matrix(grid, ndev)
+    sh = jax.sharding.NamedSharding(mesh, P(axis))
+    gap = jax.device_put(jnp.asarray(part.gapmask, jnp.float64),
+                         jax.sharding.NamedSharding(mesh, P()))
+    x = jax.device_put(
+        jnp.asarray(part.pad_vector(rng.standard_normal(grid.n))), sh)
+    out = []
+    for overlap in (False, True):
+        mv = _make_local_matvec_stencil(part, axis, interpret=True,
+                                        overlap=overlap)
+        f = jax.jit(_partial(jax.shard_map, mesh=mesh,
+                             in_specs=(P(), P(axis)),
+                             out_specs=P(axis), check_vma=False)(
+            lambda g, xl: mv(g, xl)))
+        out.append(np.asarray(f(gap, x)))
+    np.testing.assert_array_equal(out[0], out[1])
+    np.testing.assert_allclose(
+        part.unpad_vector(out[1]),
+        grid.matvec(np.asarray(part.unpad_vector(np.asarray(x)))),
+        rtol=1e-12, atol=1e-12)
