@@ -658,7 +658,9 @@ def make_dist_bicgstab(a, mesh: Mesh,
         tri_stacked = ()
         tri_specs = ()
 
-    maxit, debug = config.maxit, config.debug
+    from cuda_mat_tpu.solvers.bicgstab import effective_debug
+
+    maxit, debug = config.maxit, effective_debug(config.debug)
     nterms = config.neumann_terms
     n_mat = len(mat_args)
     n_tri = len(tri_stacked)

@@ -23,6 +23,7 @@ import numpy as np
 from cuda_mat_tpu.config import SolverConfig, DEFAULT_CONFIG
 from cuda_mat_tpu.formats.csr import CSRMatrix
 from cuda_mat_tpu.ops.operators import make_operator
+from cuda_mat_tpu.solvers.bicgstab import effective_debug
 from cuda_mat_tpu.solvers.result import SolveResult, SolverStatus
 
 
@@ -90,7 +91,7 @@ def bicg(a, b, config: SolverConfig = DEFAULT_CONFIG,
     t1 = time.perf_counter()
     x, status, iters, check, norm, hist = jax.block_until_ready(
         _bicg_solve(op, op_t, bd, jnp.asarray(config.tol, dt), config.maxit,
-                    config.debug))
+                    effective_debug(config.debug)))
     # scalar fetch before the timer stops: block_until_ready over the axon
     # tunnel can return before kernel completion (CLAUDE.md)
     check = float(check)

