@@ -48,6 +48,12 @@ class SolverConfig:
     # terms k of the truncated Neumann series for precond="ilu0_neumann"
     # (2(k-1) banded SpMVs per application; see precond.NeumannILUPreconditioner)
     neumann_terms: int = 3
+    # on the gap-strided stencil path, approximate the Neumann factors by
+    # their deep-interior fixed-point constants and run them matrix-free
+    # (kills the restrided factor value streams — the dominant msolve
+    # traffic; perturbs the preconditioner only in a boundary layer).
+    # False = exact-pattern factors restrided into the stencil layout.
+    neumann_const_factors: bool = True
     # recompute ||b - A x|| in float64 on the host after the solve (one host
     # SpMV, outside dtAlg) and report it as SolveResult.residual_true; the
     # in-loop recursive residual drifts from the true residual in f32

@@ -414,12 +414,16 @@ def _lcm(a: int, b: int) -> int:
 
 
 def stencil_layout(c_grid: int, n: int, terms,
-                   block_target: int = 262144):
+                   block_target: int = 262144, min_sub: int = 0):
     """Choose the gap-strided layout (stride, sub, block, np_true, npad) for
     a grid with row length C.  Constraints: stride >= C + max|dc| (seam reads
     land in zero gap cells) and a multiple of 128 (lanes); sub >= max strided
     offset and a multiple of 1024 (HBM DMA alignment); block a multiple of
-    both sub (pipeline) and stride (per-block-identical gap mask)."""
+    both sub (pipeline) and stride (per-block-identical gap mask).
+
+    ``min_sub``: widen the halo sub-block so operators with larger offsets
+    (e.g. a fused Neumann-series stencil, max offset ~(k-1)*stride) share the
+    layout; costs only extra x overfetch (2*sub/block of n)."""
     dcmax = max((abs(t[1]) for t in terms), default=0)
     stride = _round_up(c_grid + dcmax, 128)
     r = n // c_grid
@@ -430,7 +434,7 @@ def stencil_layout(c_grid: int, n: int, terms,
                          " tail mask; use PallasDIAOperator instead")
     # strided offsets: off' = dr*stride + dc
     soffs = [((t[0] - t[1]) // c_grid) * stride + t[1] for t in terms]
-    sub = _round_up(max(max(abs(o) for o in soffs), 1), 1024)
+    sub = _round_up(max(max(abs(o) for o in soffs), min_sub, 1), 1024)
     base = _lcm(sub, stride)
     if base > (1 << 19):
         raise ValueError(
@@ -493,7 +497,8 @@ class ConstStencilOperator:
 
     @classmethod
     def from_dia(cls, dia, dtype=jnp.float32, block_target: int = 262144,
-                 interpret: bool = False) -> "ConstStencilOperator":
+                 interpret: bool = False, min_sub: int = 0
+                 ) -> "ConstStencilOperator":
         det = detect_const_stencil(dia)
         if det is None:
             raise ValueError(
@@ -501,7 +506,7 @@ class ConstStencilOperator:
                 " PallasDIAOperator / make_operator instead")
         c_grid, terms = det
         stride, sub, block, np_true, npad, sterms = stencil_layout(
-            c_grid, dia.n, terms, block_target)
+            c_grid, dia.n, terms, block_target, min_sub)
         gap = np.zeros(block, dtype=np.dtype(dtype))
         gap.reshape(block // stride, stride)[:, :c_grid] = 1.0
         return cls(jnp.asarray(gap), terms, sterms, c_grid, stride, dia.n,
@@ -531,6 +536,88 @@ jax.tree_util.register_dataclass(
     ConstStencilOperator, data_fields=["gapmask"],
     meta_fields=["terms", "strided_terms", "c_grid", "stride", "n",
                  "np_true", "npad", "block", "sub", "vec_dtype", "interpret"])
+
+
+def const_factor_terms(dia, c_grid: int, stride: int):
+    """Deep-interior constant-stencil approximation of a banded matrix on an
+    R×C grid: sample each diagonal at a row where every offset is in-range
+    (grid center) and return ``(terms, strided_terms)`` in the formats of
+    :class:`ConstStencilOperator` (``(off, dc, scal)`` / ``(off', scal)``).
+
+    Used for ILU(0) Neumann factors of constant stencils, whose diagonals
+    converge geometrically to interior fixed points away from the boundary
+    (the approximation perturbs only a boundary layer of the
+    *preconditioner*; see NeumannILUPreconditioner.from_csr)."""
+    n = dia.n
+    r = n // c_grid
+    assert n % c_grid == 0
+    i0 = (r // 2) * c_grid + c_grid // 2
+    terms = []
+    sterms = []
+    for k, off in enumerate(int(o) for o in dia.offsets):
+        dr = int(np.rint(off / c_grid))
+        dc = off - dr * c_grid
+        if abs(dc) > stride - c_grid and dc != 0:
+            raise ValueError(f"offset {off}: |dc|={abs(dc)} exceeds the gap"
+                             f" width {stride - c_grid}")
+        if not (0 <= i0 + off < n and 0 <= (i0 % c_grid) + dc < c_grid):
+            raise ValueError(f"offset {off} has no interior sample row on an"
+                             f" {r}x{c_grid} grid")
+        scal = float(dia.data[k, i0])
+        terms.append((off, dc, scal))
+        sterms.append((dr * stride + dc, scal))
+    return tuple(terms), tuple(sterms)
+
+
+def neumann_poly_terms(terms, k: int, c_grid: int, stride: int):
+    """Expand the truncated Neumann series ``P = Σ_{j<k} (−N)^j`` of a
+    constant-stencil ``N`` into a single constant stencil.
+
+    Stencil composition is polynomial multiplication over (dr, dc) offsets:
+    ``(N²)`` terms are all pairwise offset sums with coefficient products.
+    On the gap-strided layout the composition is *exact* as long as every
+    accumulated ``|dc| <= stride − c_grid``: a within-row offset that leaves
+    the true columns lands in a zero gap cell, which is precisely the value
+    the sequential application would have read after its gap re-masking
+    (and row offsets beyond the grid land in the zero pad/tail).  One kernel
+    launch then applies the whole series — x read once, y written once —
+    replacing ``k−1`` matvecs plus their series adds.
+
+    ``terms``: ((off, dc, scal), ...) of N.  Returns the same format for P,
+    or raises ValueError when an accumulated |dc| exceeds the gap width.
+    """
+    gap = stride - c_grid
+    acc = {(0, 0): 1.0}                      # I
+    power = {(t[0], t[1]): t[2] for t in terms}   # N^1 keyed by (off, dc)
+    cur = dict(power)
+    for j in range(1, k):
+        sign = -1.0 if j % 2 else 1.0
+        for (off, dc), v in cur.items():
+            acc[(off, dc)] = acc.get((off, dc), 0.0) + sign * v
+        if j + 1 < k:
+            nxt = {}
+            for (o1, d1), v1 in cur.items():
+                for (o2, d2), v2 in power.items():
+                    key = (o1 + o2, d1 + d2)
+                    nxt[key] = nxt.get(key, 0.0) + v1 * v2
+            cur = nxt
+    out = []
+    for (off, dc), v in sorted(acc.items()):
+        if abs(dc) > gap and dc != 0:
+            raise ValueError(
+                f"series term dc={dc} exceeds the gap width {gap}"
+                f" (stride {stride}, C {c_grid}); apply the series"
+                " term-by-term instead")
+        if v != 0.0:
+            out.append((off, dc, float(v)))
+    return tuple(out)
+
+
+def strided_offsets(terms, c_grid: int, stride: int):
+    """((off', scal), ...) for :func:`const_stencil_spmv_padded` from
+    true-coordinate ``(off, dc, scal)`` terms."""
+    return tuple((((t[0] - t[1]) // c_grid) * stride + t[1], float(t[2]))
+                 for t in terms)
 
 
 def restride_dia(dia, c_grid: int, stride: int):

@@ -166,7 +166,8 @@ def _make_local_matvec_pallas(offsets, halo, shard_rows, ndev, axis,
     return matvec
 
 
-def _make_local_matvec_stencil(part, axis, interpret, overlap: bool = True):
+def _make_local_matvec_stencil(part, axis, interpret, overlap: bool = True,
+                                sterms=None, halo=None):
     """Per-shard matvec for the gap-strided constant-stencil Pallas kernel
     (:func:`cuda_mat_tpu.ops.pallas_stencil.const_stencil_spmv_padded`) — the
     flagship single-chip matvec (2.06x the DIA kernel, BASELINE.md) made
@@ -187,10 +188,12 @@ def _make_local_matvec_stencil(part, axis, interpret, overlap: bool = True):
     form bitwise.  Replaces reference pbicgstab.cu:104,132."""
     from cuda_mat_tpu.ops.pallas_stencil import const_stencil_spmv_padded
 
-    w = part.halo
+    # custom ``sterms``/``halo`` let factor operators (e.g. the fused
+    # Neumann-series polynomial, VERDICT r2 #6) reuse A's partition layout
+    w = part.halo if halo is None else halo
     s = part.shard_rows
     block, sub = part.block, part.sub
-    sterms = part.strided_terms
+    sterms = part.strided_terms if sterms is None else sterms
     np_true = part.np_true
     ndev = part.ndev
     assert s % block == 0 and block % sub == 0 and w <= sub
@@ -482,6 +485,18 @@ def make_dist_bicgstab(a, mesh: Mesh,
 
             try:
                 part = RowPartitionedStencil.from_matrix(a, ndev)
+                if mode == "ilu0_neumann" and config.neumann_const_factors:
+                    # fused whole-series factor stencils need a halo
+                    # sub-block covering ~(k-1)x the base offsets; widening
+                    # costs only x overfetch (see stencil_layout min_sub)
+                    need = (config.neumann_terms - 1) * max(
+                        abs(o) for o, _ in part.strided_terms)
+                    if need > part.sub:
+                        try:
+                            part = RowPartitionedStencil.from_matrix(
+                                a, ndev, min_sub=need)
+                        except ValueError:
+                            pass  # sequential restrided factors still apply
                 banded = True
                 stencil = True
                 local_engine = "stencil"
@@ -590,7 +605,33 @@ def make_dist_bicgstab(a, mesh: Mesh,
         fac_specs = []
         fac_slices = []
         fac_mvs = []
-        for f in (low, up):
+        fac_fused = False
+        if stencil and config.neumann_const_factors:
+            # fused whole-series factors: each triangular series collapses to
+            # ONE matrix-free stencil launch per application (measured 2.0x
+            # e2e over restrided exact-pattern factors at 10M rows) — no
+            # factor data to shard at all; same layout/halos as A
+            try:
+                from cuda_mat_tpu.ops.pallas_stencil import (
+                    const_factor_terms, neumann_poly_terms, strided_offsets)
+
+                mvs = []
+                for f in (low, up):
+                    t, _ = const_factor_terms(f.to_dia(max_diags=128),
+                                              part.c_grid, part.stride)
+                    pt = neumann_poly_terms(t, config.neumann_terms,
+                                            part.c_grid, part.stride)
+                    st = strided_offsets(pt, part.c_grid, part.stride)
+                    w_s = max(abs(o) for o, _ in st)
+                    if w_s > part.sub or w_s > part.shard_rows:
+                        raise ValueError("series halo exceeds the layout")
+                    mvs.append(_make_local_matvec_stencil(
+                        part, axis, interpret, sterms=st, halo=w_s))
+                fac_mvs = mvs
+                fac_fused = True
+            except ValueError:
+                fac_mvs = []
+        for f in () if fac_fused else (low, up):
             if stencil:
                 # re-index the factor into the stencil's gap-strided
                 # coordinates; the restrided DIA data's zero slots mask
@@ -686,6 +727,16 @@ def make_dist_bicgstab(a, mesh: Mesh,
             return precond_core(mv, tri.msolve, dot, x0_l, b_l, tol_, maxit,
                                 debug)
         if mode == "ilu0_neumann":
+            if fac_fused:
+                pl_mv, pu_mv = fac_mvs
+
+                def msolve_fused(f):
+                    # x = P_u(D^-1 * P_l(f)) — same expansion as the
+                    # single-chip fused NeumannILUPreconditioner.msolve
+                    return pu_mv(mat_l[0], inv_diag_l * pl_mv(mat_l[0], f))
+
+                return precond_core(mv, msolve_fused, dot, x0_l, b_l, tol_,
+                                    maxit, debug)
             nl_data = fac_l[fac_slices[0]]
             nu_data = fac_l[fac_slices[1]]
             nl_mv, nu_mv = fac_mvs

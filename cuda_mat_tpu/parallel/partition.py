@@ -114,7 +114,8 @@ class RowPartitionedStencil:
 
     @classmethod
     def from_matrix(cls, a, ndev: int, block_target: int = 262144,
-                    max_diags: int = 128) -> "RowPartitionedStencil":
+                    max_diags: int = 128, min_sub: int = 0
+                    ) -> "RowPartitionedStencil":
         from cuda_mat_tpu.ops.pallas_stencil import (detect_const_stencil,
                                                      stencil_layout)
 
@@ -130,7 +131,7 @@ class RowPartitionedStencil:
         # stays balanced (stencil_layout never goes below its base block)
         block_target = min(block_target, max(1, -(-dia.n // ndev)))
         stride, sub, block, np_true, _, sterms = stencil_layout(
-            c_grid, dia.n, terms, block_target)
+            c_grid, dia.n, terms, block_target, min_sub)
         shard_rows = -(-(-(-np_true // ndev)) // block) * block
         npad = shard_rows * ndev
         if npad >= 2 ** 31:

@@ -132,22 +132,51 @@ class NeumannILUPreconditioner:
     the headline workloads.
     """
 
-    nl: object       # strict-lower operator (any matvec pytree)
-    nu: object       # D⁻¹·strict-upper operator
+    nl: object       # strict-lower operator (any matvec pytree), or the
+                     # fused series polynomial P_l when ``fused``
+    nu: object       # D⁻¹·strict-upper operator / fused P_u
     inv_d: jax.Array
     terms: int       # static k (total series terms; k=1 degrades to Jacobi)
+    fused: bool = False  # static: nl/nu are whole-series stencils — one
+                     # kernel launch applies Σ_{j<k}(−N)^j (x read once,
+                     # y written once) instead of k−1 matvecs + series adds
 
     @classmethod
     def from_csr(cls, csr, dtype=jnp.float32, terms: int = 3,
-                 engine: str = "auto",
-                 pad_like=None) -> "NeumannILUPreconditioner":
+                 engine: str = "auto", pad_like=None,
+                 const_factors: bool = True) -> "NeumannILUPreconditioner":
         """``pad_like``: a :class:`PallasDIAOperator` for A — build N_l/N_u as
         Pallas operators in the *same padded layout*, so the whole msolve maps
         padded→padded vectors at kernel bandwidth (zero pads are a fixed point
-        of every term)."""
+        of every term).
+
+        ``const_factors`` (stencil ``pad_like`` only): approximate each factor
+        diagonal by its deep-interior fixed-point value and run N_l/N_u
+        matrix-free through the same gap-strided kernel as A — the factor
+        value streams (the dominant msolve traffic at 1M rows, inflated
+        stride/C by restriding) vanish entirely.  The ILU recurrence of a
+        constant stencil converges geometrically away from the boundary, so
+        only a boundary layer (~3-5% of entries on the measured grids) is
+        perturbed; this changes the *preconditioner*, not the system — the
+        exact diagonal D stays a vector, convergence is still measured
+        against A (VERDICT r2 next-round #6: 'exploit that the ILU(0) factor
+        of a constant stencil is near-Toeplitz away from the boundary')."""
         from cuda_mat_tpu.ops.operators import make_operator
 
         low, up, diag = neumann_factors(csr)
+        if pad_like is not None and hasattr(pad_like, "stride") \
+                and const_factors:
+            nl = _const_factor_operator(low, pad_like)
+            nu = _const_factor_operator(up, pad_like)
+            inv_d = pad_like.pad_vec(1.0 / diag)
+            # fuse each triangular series into ONE whole-series stencil when
+            # its polynomial offsets fit the operator's halo sub-block:
+            # msolve then costs 2 kernel launches + 1 elementwise multiply
+            fl = _fused_series_operator(nl, terms)
+            fu = _fused_series_operator(nu, terms)
+            if fl is not None and fu is not None:
+                return cls(fl, fu, inv_d, terms, fused=True)
+            return cls(nl, nu, inv_d, terms)
         if pad_like is not None:
             from cuda_mat_tpu.ops.pallas_spmv import PallasDIAOperator
 
@@ -177,6 +206,8 @@ class NeumannILUPreconditioner:
                    jnp.asarray(1.0 / diag, dtype), terms)
 
     def msolve(self, f: jax.Array) -> jax.Array:
+        if self.fused:
+            return self.nu.matvec(self.inv_d * self.nl.matvec(f))
         y = f
         term = f
         for _ in range(self.terms - 1):
@@ -193,7 +224,7 @@ class NeumannILUPreconditioner:
 
 jax.tree_util.register_dataclass(NeumannILUPreconditioner,
                                  data_fields=["nl", "nu", "inv_d"],
-                                 meta_fields=["terms"])
+                                 meta_fields=["terms", "fused"])
 
 
 @dataclasses.dataclass(frozen=True)
@@ -224,6 +255,40 @@ class PaddedPreconditioner:
 jax.tree_util.register_dataclass(PaddedPreconditioner,
                                  data_fields=["inner", "op"],
                                  meta_fields=[])
+
+
+def _fused_series_operator(n_op, k: int):
+    """Whole-series stencil ``P = Σ_{j<k} (−N)^j`` sharing ``n_op``'s layout,
+    or None when a polynomial offset exceeds the layout's gap width or halo
+    sub-block (the sequential series still applies)."""
+    import dataclasses as _dc
+
+    from cuda_mat_tpu.ops.pallas_stencil import (neumann_poly_terms,
+                                                 strided_offsets)
+
+    try:
+        pt = neumann_poly_terms(n_op.terms, k, n_op.c_grid, n_op.stride)
+    except ValueError:
+        return None
+    st = strided_offsets(pt, n_op.c_grid, n_op.stride)
+    if max(abs(s[0]) for s in st) > n_op.sub:
+        return None
+    return _dc.replace(n_op, terms=pt, strided_terms=st)
+
+
+def _const_factor_operator(factor_csr, pad_like):
+    """Matrix-free constant-stencil operator for an ILU factor, sharing
+    ``pad_like``'s gap-strided layout (same block/sub/gapmask/padding, so
+    padded vectors flow through A and the factors without relayout)."""
+    import dataclasses as _dc
+
+    from cuda_mat_tpu.ops.pallas_stencil import const_factor_terms
+
+    fd = factor_csr.to_dia(max_diags=128)
+    terms, sterms = const_factor_terms(fd, pad_like.c_grid, pad_like.stride)
+    if max(abs(s[0]) for s in sterms) > pad_like.sub:
+        raise ValueError("factor offsets exceed the operator's halo sub-block")
+    return _dc.replace(pad_like, terms=terms, strided_terms=sterms)
 
 
 def neumann_factors(csr):

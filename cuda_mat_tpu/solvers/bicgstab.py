@@ -523,9 +523,26 @@ def solve(a, b, config: SolverConfig = DEFAULT_CONFIG,
             from cuda_mat_tpu.precond.preconditioners import (
                 NeumannILUPreconditioner)
 
+            if config.neumann_const_factors and hasattr(op, "stride"):
+                # widen the layout's halo sub-block so the fused whole-series
+                # factor stencils (max offset ~(k-1)*stride) share it; costs
+                # only x overfetch on A's matvec
+                need = (config.neumann_terms - 1) * max(
+                    abs(s[0]) for s in op.strided_terms)
+                if need > op.sub:
+                    from cuda_mat_tpu.ops.pallas_stencil import (
+                        ConstStencilOperator)
+
+                    try:
+                        op = ConstStencilOperator.from_dia(
+                            a.to_dia(max_diags=16), dtype=dt,
+                            interpret=op.interpret, min_sub=need)
+                    except ValueError:
+                        pass  # layout infeasible: sequential series applies
             try:
                 pre = NeumannILUPreconditioner.from_csr(
-                    a, dtype=dt, terms=config.neumann_terms, pad_like=op)
+                    a, dtype=dt, terms=config.neumann_terms, pad_like=op,
+                    const_factors=config.neumann_const_factors)
             except ValueError:
                 op = make_operator(a, dtype=dt, format=None)
                 padded = False

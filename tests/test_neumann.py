@@ -86,3 +86,117 @@ def test_neumann_padded_layout_matches_unpadded(mat900, rng):
     # pads remain exactly zero
     out = np.asarray(pre_pad.msolve(pad_op.pad_vec(f)))
     assert np.all(out[:pad_op.block] == 0) and np.all(out[pad_op.block + 900:] == 0)
+
+
+# ---------------------------------------------------------------------------
+# Constant-factor + fused-series Neumann on the gap-strided stencil layout
+# (VERDICT r2 next-round #6: kill the restride tax)
+# ---------------------------------------------------------------------------
+
+
+def _stencil_op(a, dtype=jnp.float64):
+    from cuda_mat_tpu.solvers.bicgstab import _as_op
+
+    return _as_op(a, dtype, format="stencil")
+
+
+def test_poly_terms_match_dense_polynomial(rng):
+    """neumann_poly_terms(N, k) applied through the gap-strided kernel equals
+    the dense polynomial I - N + N^2 (boundary/gap handling included)."""
+    from cuda_mat_tpu.models.problems import grid_laplacian
+    from cuda_mat_tpu.ops.pallas_stencil import (neumann_poly_terms,
+                                                 strided_offsets)
+    from cuda_mat_tpu.precond.preconditioners import (_const_factor_operator,
+                                                      neumann_factors)
+    import dataclasses
+
+    a = grid_laplacian(24, 126)
+    op = _stencil_op(a)
+    low, up, diag = neumann_factors(a)
+    for f_csr in (low, up):
+        n_op = _const_factor_operator(f_csr, op)
+        pt = neumann_poly_terms(n_op.terms, 3, n_op.c_grid, n_op.stride)
+        p_op = dataclasses.replace(
+            n_op, terms=pt,
+            strided_terms=strided_offsets(pt, n_op.c_grid, n_op.stride))
+        # dense N from the const-factor operator's own terms
+        n = a.n
+        dense_n = np.zeros((n, n))
+        c = n_op.c_grid
+        for (off, dc, scal) in n_op.terms:
+            for i in range(n):
+                j = i + off
+                if 0 <= j < n and 0 <= (i % c) + dc < c:
+                    dense_n[i, j] = scal
+        dense_p = np.eye(n) - dense_n + dense_n @ dense_n
+        x = rng.standard_normal(n)
+        y_kernel = np.asarray(p_op.unpad_vec(p_op.matvec(p_op.pad_vec(x))))
+        np.testing.assert_allclose(y_kernel, dense_p @ x, rtol=1e-12,
+                                   atol=1e-12)
+
+
+def test_fused_msolve_matches_sequential_const(rng):
+    from cuda_mat_tpu.models.problems import grid_laplacian
+    from cuda_mat_tpu.precond.preconditioners import (_const_factor_operator,
+                                                      neumann_factors)
+
+    a = grid_laplacian(24, 126)
+    op = _stencil_op(a)
+    pre_f = NeumannILUPreconditioner.from_csr(a, dtype=jnp.float64, terms=3,
+                                              pad_like=op, const_factors=True)
+    assert pre_f.fused
+    low, up, diag = neumann_factors(a)
+    pre_s = NeumannILUPreconditioner(_const_factor_operator(low, op),
+                                     _const_factor_operator(up, op),
+                                     op.pad_vec(1.0 / diag), 3)
+    f = op.pad_vec(rng.standard_normal(a.n))
+    np.testing.assert_allclose(np.asarray(pre_f.msolve(f)),
+                               np.asarray(pre_s.msolve(f)),
+                               rtol=1e-13, atol=1e-13)
+
+
+def test_const_factor_solve_converges_like_exact_pattern(rng):
+    """Const-factor (boundary-layer-perturbed) Neumann costs ~zero extra
+    iterations at the production tolerance."""
+    from cuda_mat_tpu.models.problems import grid_laplacian
+
+    a = grid_laplacian(40, 126)
+    b = a.matvec(rng.standard_normal(a.n))
+    cfg = SolverConfig(maxit=2000, tol=1e-4, dtype="float64",
+                       precond="ilu0_neumann", neumann_terms=3)
+    r_c = solve(a, b, cfg.replace(neumann_const_factors=True),
+                format="stencil")
+    r_e = solve(a, b, cfg.replace(neumann_const_factors=False),
+                format="stencil")
+    assert r_c.converged and r_e.converged
+    assert abs(r_c.iters - r_e.iters) <= max(2, 0.15 * r_e.iters)
+
+
+def test_min_sub_rebuild_for_wide_grids(rng):
+    """When the fused series' offsets exceed the default halo sub-block
+    (large C), solve() rebuilds the operator with a widened sub so the
+    fused path still engages."""
+    from cuda_mat_tpu.models.problems import grid_laplacian
+
+    a = grid_laplacian(8, 1000)   # stride 1024; series needs ~2*1025 > 2048
+    b = a.matvec(rng.standard_normal(a.n))
+    cfg = SolverConfig(maxit=2000, tol=1e-6, dtype="float64",
+                       precond="ilu0_neumann", neumann_terms=3)
+    r = solve(a, b, cfg, format="stencil")
+    assert r.converged
+
+
+def test_gap_overflow_falls_back_to_sequential(rng):
+    """k large enough that series |dc| exceeds the gap width: from_csr falls
+    back to the sequential const-factor series instead of mis-masking."""
+    from cuda_mat_tpu.models.problems import grid_laplacian
+
+    a = grid_laplacian(24, 126)     # stride 128, gap = 2
+    op = _stencil_op(a)
+    pre = NeumannILUPreconditioner.from_csr(a, dtype=jnp.float64, terms=4,
+                                            pad_like=op, const_factors=True)
+    assert not pre.fused            # |dc| = 3 > gap 2
+    # and it still applies correctly (sequential const series)
+    f = op.pad_vec(rng.standard_normal(a.n))
+    y = np.asarray(pre.msolve(f))
+    assert np.isfinite(y).all()

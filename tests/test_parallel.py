@@ -524,3 +524,16 @@ def test_stencil_overlap_split_matches_unsplit(grid, rng):
         part.unpad_vector(out[1]),
         grid.matvec(np.asarray(part.unpad_vector(np.asarray(x)))),
         rtol=1e-12, atol=1e-12)
+
+
+@needs_8
+def test_dist_stencil_neumann_exact_pattern_factors(grid, rng):
+    """neumann_const_factors=False keeps the restrided exact-pattern factor
+    path (DIA kernels over restrided streams) working distributed."""
+    b = rng.uniform(1.0, 5.0, grid.n)
+    cfg = SolverConfig(maxit=2000, tol=1e-6, precond="ilu0_neumann",
+                       neumann_terms=3, neumann_const_factors=False)
+    r = dist_bicgstab(grid, b, make_mesh(8), cfg, local_engine="stencil")
+    assert r.converged
+    rel = np.linalg.norm(b - grid.matvec(r.x)) / np.linalg.norm(b)
+    assert rel < 1e-5
