@@ -613,6 +613,27 @@ def neumann_poly_terms(terms, k: int, c_grid: int, stride: int):
     return tuple(out)
 
 
+def compose_stencil_terms(ta, tb, c_grid: int, stride: int):
+    """Product stencil ``C = A·B`` of two constant stencils (polynomial
+    multiplication over (dr, dc) offsets) — exact on the gap-strided layout
+    while every accumulated ``|dc| <= stride − c_grid`` (see
+    :func:`neumann_poly_terms` for why).  Raises ValueError past the gap."""
+    gap = stride - c_grid
+    out = {}
+    for (o1, d1, v1) in ta:
+        for (o2, d2, v2) in tb:
+            k = (o1 + o2, d1 + d2)
+            out[k] = out.get(k, 0.0) + v1 * v2
+    res = []
+    for (off, dc), v in sorted(out.items()):
+        if abs(dc) > gap and dc != 0:
+            raise ValueError(f"composed term dc={dc} exceeds the gap width"
+                             f" {gap} (stride {stride}, C {c_grid})")
+        if v != 0.0:
+            res.append((off, dc, float(v)))
+    return tuple(res)
+
+
 def strided_offsets(terms, c_grid: int, stride: int):
     """((off', scal), ...) for :func:`const_stencil_spmv_padded` from
     true-coordinate ``(off, dc, scal)`` terms."""

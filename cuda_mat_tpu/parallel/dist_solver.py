@@ -610,11 +610,15 @@ def make_dist_bicgstab(a, mesh: Mesh,
             # fused whole-series factors: each triangular series collapses to
             # ONE matrix-free stencil launch per application (measured 2.0x
             # e2e over restrided exact-pattern factors at 10M rows) — no
-            # factor data to shard at all; same layout/halos as A
+            # factor data to shard at all; same layout/halos as A.  When the
+            # composed polynomial M⁻¹ ≈ P_u·d*·P_l also fits, the whole
+            # msolve is ONE per-shard launch + one ppermute pair ("mono").
             try:
                 from cuda_mat_tpu.ops.pallas_stencil import (
-                    const_factor_terms, neumann_poly_terms, strided_offsets)
+                    compose_stencil_terms, const_factor_terms,
+                    neumann_poly_terms, strided_offsets)
 
+                polys = []
                 mvs = []
                 for f in (low, up):
                     t, _ = const_factor_terms(f.to_dia(max_diags=128),
@@ -625,12 +629,30 @@ def make_dist_bicgstab(a, mesh: Mesh,
                     w_s = max(abs(o) for o, _ in st)
                     if w_s > part.sub or w_s > part.shard_rows:
                         raise ValueError("series halo exceeds the layout")
+                    polys.append(pt)
                     mvs.append(_make_local_matvec_stencil(
                         part, axis, interpret, sterms=st, halo=w_s))
                 fac_mvs = mvs
-                fac_fused = True
+                fac_fused = "series"
+                r_grid = part.n // part.c_grid
+                d_star = float(diag_m[(r_grid // 2) * part.c_grid
+                                      + part.c_grid // 2])
+                try:
+                    mt = compose_stencil_terms(
+                        polys[1],
+                        tuple((o, d, v / d_star) for (o, d, v) in polys[0]),
+                        part.c_grid, part.stride)
+                    stm = strided_offsets(mt, part.c_grid, part.stride)
+                    w_m = max(abs(o) for o, _ in stm)
+                    if w_m <= part.sub and w_m <= part.shard_rows:
+                        fac_mvs = [_make_local_matvec_stencil(
+                            part, axis, interpret, sterms=stm, halo=w_m)]
+                        fac_fused = "mono"
+                except ValueError:
+                    pass
             except ValueError:
                 fac_mvs = []
+                fac_fused = False
         for f in () if fac_fused else (low, up):
             if stencil:
                 # re-index the factor into the stencil's gap-strided
@@ -727,6 +749,10 @@ def make_dist_bicgstab(a, mesh: Mesh,
             return precond_core(mv, tri.msolve, dot, x0_l, b_l, tol_, maxit,
                                 debug)
         if mode == "ilu0_neumann":
+            if fac_fused == "mono":
+                mono_mv = fac_mvs[0]
+                return precond_core(mv, lambda f: mono_mv(mat_l[0], f), dot,
+                                    x0_l, b_l, tol_, maxit, debug)
             if fac_fused:
                 pl_mv, pu_mv = fac_mvs
 

@@ -133,13 +133,17 @@ class NeumannILUPreconditioner:
     """
 
     nl: object       # strict-lower operator (any matvec pytree), or the
-                     # fused series polynomial P_l when ``fused``
-    nu: object       # D⁻¹·strict-upper operator / fused P_u
+                     # fused series polynomial P_l when ``fused``; the whole
+                     # M⁻¹ polynomial when ``fused == "mono"``
+    nu: object       # D⁻¹·strict-upper operator / fused P_u / None (mono)
     inv_d: jax.Array
     terms: int       # static k (total series terms; k=1 degrades to Jacobi)
-    fused: bool = False  # static: nl/nu are whole-series stencils — one
-                     # kernel launch applies Σ_{j<k}(−N)^j (x read once,
-                     # y written once) instead of k−1 matvecs + series adds
+    fused: object = False  # static: False = sequential series;
+                     # "series" = nl/nu are whole-series stencils (one launch
+                     # per triangle); "mono" = nl is the single composed
+                     # polynomial P_u·d*·P_l — msolve is ONE kernel launch
+                     # (the diagonal is approximated by its interior constant
+                     # too; measured +0 iterations at tol 1e-4 and 1e-8)
 
     @classmethod
     def from_csr(cls, csr, dtype=jnp.float32, terms: int = 3,
@@ -175,7 +179,33 @@ class NeumannILUPreconditioner:
             fl = _fused_series_operator(nl, terms)
             fu = _fused_series_operator(nu, terms)
             if fl is not None and fu is not None:
-                return cls(fl, fu, inv_d, terms, fused=True)
+                # go further: approximate D⁻¹ by its interior constant as
+                # well and compose the whole M⁻¹ ≈ P_u · d* · P_l into ONE
+                # polynomial stencil — msolve = one matrix-free launch
+                # (x read once, y written once).  Same |dc|/sub bounds as
+                # the triangles, so if they fused, mono usually does too.
+                import dataclasses as _dc
+
+                from cuda_mat_tpu.ops.pallas_stencil import (
+                    compose_stencil_terms, strided_offsets)
+
+                r = pad_like.n // pad_like.c_grid
+                d_star = float(diag[(r // 2) * pad_like.c_grid
+                                    + pad_like.c_grid // 2])
+                try:
+                    mt = compose_stencil_terms(
+                        fu.terms,
+                        tuple((o, d, v / d_star) for (o, d, v) in fl.terms),
+                        pad_like.c_grid, pad_like.stride)
+                    st = strided_offsets(mt, pad_like.c_grid, pad_like.stride)
+                    if max(abs(s[0]) for s in st) <= pad_like.sub:
+                        mono = _dc.replace(pad_like, terms=mt,
+                                           strided_terms=st)
+                        return cls(mono, None, jnp.zeros(0, inv_d.dtype),
+                                   terms, fused="mono")
+                except ValueError:
+                    pass
+                return cls(fl, fu, inv_d, terms, fused="series")
             return cls(nl, nu, inv_d, terms)
         if pad_like is not None:
             from cuda_mat_tpu.ops.pallas_spmv import PallasDIAOperator
@@ -206,6 +236,8 @@ class NeumannILUPreconditioner:
                    jnp.asarray(1.0 / diag, dtype), terms)
 
     def msolve(self, f: jax.Array) -> jax.Array:
+        if self.fused == "mono":
+            return self.nl.matvec(f)
         if self.fused:
             return self.nu.matvec(self.inv_d * self.nl.matvec(f))
         y = f

@@ -136,23 +136,73 @@ def test_poly_terms_match_dense_polynomial(rng):
 
 
 def test_fused_msolve_matches_sequential_const(rng):
+    """Per-triangle fused series ("series" level) == sequential const series
+    (same polynomial, expanded)."""
+    from cuda_mat_tpu.models.problems import grid_laplacian
+    from cuda_mat_tpu.precond.preconditioners import (
+        _const_factor_operator, _fused_series_operator, neumann_factors)
+
+    a = grid_laplacian(24, 126)
+    op = _stencil_op(a)
+    low, up, diag = neumann_factors(a)
+    nl = _const_factor_operator(low, op)
+    nu = _const_factor_operator(up, op)
+    pre_f = NeumannILUPreconditioner(_fused_series_operator(nl, 3),
+                                     _fused_series_operator(nu, 3),
+                                     op.pad_vec(1.0 / diag), 3,
+                                     fused="series")
+    pre_s = NeumannILUPreconditioner(nl, nu, op.pad_vec(1.0 / diag), 3)
+    f = op.pad_vec(rng.standard_normal(a.n))
+    np.testing.assert_allclose(np.asarray(pre_f.msolve(f)),
+                               np.asarray(pre_s.msolve(f)),
+                               rtol=1e-13, atol=1e-13)
+
+
+def test_mono_msolve_matches_dense_polynomial(rng):
+    """from_csr(const_factors=True) collapses the whole M⁻¹ into one stencil
+    ("mono").  The kernel masks each composed term by its TOTAL grid offset
+    (a +1/−1 round trip at a boundary column survives, where the sequential
+    two-stencil product would drop it) — yet another boundary-layer-only
+    perturbation of the preconditioner, measured at +0 iterations.  Interior
+    rows match dense (Σ(−N_u)^j)·d*·(Σ(−N_l)^j) exactly; all rows match the
+    dense application of the mono terms with total-offset masking."""
     from cuda_mat_tpu.models.problems import grid_laplacian
     from cuda_mat_tpu.precond.preconditioners import (_const_factor_operator,
                                                       neumann_factors)
 
     a = grid_laplacian(24, 126)
     op = _stencil_op(a)
-    pre_f = NeumannILUPreconditioner.from_csr(a, dtype=jnp.float64, terms=3,
-                                              pad_like=op, const_factors=True)
-    assert pre_f.fused
+    pre = NeumannILUPreconditioner.from_csr(a, dtype=jnp.float64, terms=3,
+                                            pad_like=op, const_factors=True)
+    assert pre.fused == "mono"
     low, up, diag = neumann_factors(a)
-    pre_s = NeumannILUPreconditioner(_const_factor_operator(low, op),
-                                     _const_factor_operator(up, op),
-                                     op.pad_vec(1.0 / diag), 3)
-    f = op.pad_vec(rng.standard_normal(a.n))
-    np.testing.assert_allclose(np.asarray(pre_f.msolve(f)),
-                               np.asarray(pre_s.msolve(f)),
-                               rtol=1e-13, atol=1e-13)
+    n, c = a.n, op.c_grid
+
+    def dense_of(terms):
+        d = np.zeros((n, n))
+        for (off, dc, scal) in terms:
+            for i in range(n):
+                j = i + off
+                if 0 <= j < n and 0 <= (i % c) + dc < c:
+                    d[i, j] = scal
+        return d
+
+    f = rng.standard_normal(a.n)
+    y = np.asarray(op.unpad_vec(pre.msolve(op.pad_vec(f))))
+    # exact oracle: total-offset-masked dense application of the mono terms
+    np.testing.assert_allclose(y, dense_of(pre.nl.terms) @ f,
+                               rtol=1e-12, atol=1e-12)
+    # interior rows also equal the sequential polynomial product
+    dl = dense_of(_const_factor_operator(low, op).terms)
+    du = dense_of(_const_factor_operator(up, op).terms)
+    d_star = diag[(n // c // 2) * c + c // 2]
+    dense_m = (np.eye(n) - du + du @ du) @ ((np.eye(n) - dl + dl @ dl)
+                                            / d_star)
+    seq = dense_m @ f
+    interior = np.array([i for i in range(n)
+                         if 2 <= i // c < n // c - 2 and 2 <= i % c < c - 2])
+    np.testing.assert_allclose(y[interior], seq[interior],
+                               rtol=1e-12, atol=1e-12)
 
 
 def test_const_factor_solve_converges_like_exact_pattern(rng):
