@@ -641,6 +641,48 @@ def strided_offsets(terms, c_grid: int, stride: int):
                  for t in terms)
 
 
+# Mosaic's scoped-VMEM stack budget is 16 MiB; the const-stencil kernel's
+# working set is ~(nterms + a few buffers) * block * 4 bytes (one shifted
+# window per term plus xs/y/gapmask and double-buffering).  Keep a margin.
+_VMEM_BUDGET = 12 << 20
+
+
+def stencil_vmem_block_cap(nterms: int, itemsize: int = 4) -> int:
+    """Largest kernel block for which an ``nterms``-term const stencil fits
+    the scoped-VMEM budget (measured: 19 terms at block 262144 = 21.7 MiB >
+    the 16 MiB limit)."""
+    return _VMEM_BUDGET // (itemsize * (nterms + 6))
+
+
+def plan_const_neumann_layout(terms, k: int, c_grid: int, stride: int,
+                              prefer_mono: bool = False):
+    """Symbolically expand the Neumann-series pattern on A's own offsets
+    (ILU(0) factors share A's sparsity) and return
+    ``(min_sub, block_target, terms_upper_bound)`` such that the fused
+    series — plus the mono composition when ``prefer_mono`` and it fits the
+    gap — obey the kernel's halo and scoped-VMEM constraints.  Returns None
+    when the series cannot fuse at all (|dc| past the gap at the
+    per-triangle level)."""
+    lower = tuple((o, d, 1.0) for (o, d, _) in terms if o < 0)
+    upper = tuple((o, d, 1.0) for (o, d, _) in terms if o > 0)
+    if not lower or not upper:
+        return None
+    try:
+        pl = neumann_poly_terms(lower, k, c_grid, stride)
+        pu = neumann_poly_terms(upper, k, c_grid, stride)
+    except ValueError:
+        return None
+    nmax = max(len(pl), len(pu), len(terms))
+    if prefer_mono:
+        try:
+            nmax = max(nmax,
+                       len(compose_stencil_terms(pu, pl, c_grid, stride)))
+        except ValueError:
+            pass  # mono exceeds the gap; per-triangle series still fuses
+    soffs = [((t[0] - t[1]) // c_grid) * stride + t[1] for t in pl + pu]
+    return max(abs(o) for o in soffs), stencil_vmem_block_cap(nmax), nmax
+
+
 def restride_dia(dia, c_grid: int, stride: int):
     """Re-index an n = R·C banded matrix into the gap-strided coordinate
     system (n' = R·S): entry (i, j) moves to (i', j') with

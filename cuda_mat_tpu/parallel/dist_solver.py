@@ -486,15 +486,21 @@ def make_dist_bicgstab(a, mesh: Mesh,
             try:
                 part = RowPartitionedStencil.from_matrix(a, ndev)
                 if mode == "ilu0_neumann" and config.neumann_const_factors:
-                    # fused whole-series factor stencils need a halo
-                    # sub-block covering ~(k-1)x the base offsets; widening
-                    # costs only x overfetch (see stencil_layout min_sub)
-                    need = (config.neumann_terms - 1) * max(
-                        abs(o) for o, _ in part.strided_terms)
-                    if need > part.sub:
+                    # re-plan for the fused series stencils: widen the halo
+                    # sub-block to the polynomial offsets and cap the block
+                    # to the scoped-VMEM budget of the widest kernel
+                    from cuda_mat_tpu.ops.pallas_stencil import (
+                        plan_const_neumann_layout)
+
+                    plan = plan_const_neumann_layout(
+                        part.terms, config.neumann_terms, part.c_grid,
+                        part.stride, prefer_mono=True)
+                    if plan is not None and (plan[0] > part.sub
+                                             or part.block > plan[1]):
                         try:
                             part = RowPartitionedStencil.from_matrix(
-                                a, ndev, min_sub=need)
+                                a, ndev, min_sub=plan[0],
+                                block_target=plan[1])
                         except ValueError:
                             pass  # sequential restrided factors still apply
                 banded = True
@@ -616,7 +622,13 @@ def make_dist_bicgstab(a, mesh: Mesh,
             try:
                 from cuda_mat_tpu.ops.pallas_stencil import (
                     compose_stencil_terms, const_factor_terms,
-                    neumann_poly_terms, strided_offsets)
+                    neumann_poly_terms, stencil_vmem_block_cap,
+                    strided_offsets)
+
+                def _fits(nterms, w_s):
+                    return (w_s <= part.sub and w_s <= part.shard_rows
+                            and (interpret or part.block
+                                 <= stencil_vmem_block_cap(nterms)))
 
                 polys = []
                 mvs = []
@@ -627,8 +639,8 @@ def make_dist_bicgstab(a, mesh: Mesh,
                                             part.c_grid, part.stride)
                     st = strided_offsets(pt, part.c_grid, part.stride)
                     w_s = max(abs(o) for o, _ in st)
-                    if w_s > part.sub or w_s > part.shard_rows:
-                        raise ValueError("series halo exceeds the layout")
+                    if not _fits(len(pt), w_s):
+                        raise ValueError("series exceeds the layout")
                     polys.append(pt)
                     mvs.append(_make_local_matvec_stencil(
                         part, axis, interpret, sterms=st, halo=w_s))
@@ -644,7 +656,7 @@ def make_dist_bicgstab(a, mesh: Mesh,
                         part.c_grid, part.stride)
                     stm = strided_offsets(mt, part.c_grid, part.stride)
                     w_m = max(abs(o) for o, _ in stm)
-                    if w_m <= part.sub and w_m <= part.shard_rows:
+                    if _fits(len(mt), w_m):
                         fac_mvs = [_make_local_matvec_stencil(
                             part, axis, interpret, sterms=stm, halo=w_m)]
                         fac_fused = "mono"

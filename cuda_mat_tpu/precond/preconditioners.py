@@ -148,7 +148,8 @@ class NeumannILUPreconditioner:
     @classmethod
     def from_csr(cls, csr, dtype=jnp.float32, terms: int = 3,
                  engine: str = "auto", pad_like=None,
-                 const_factors: bool = True) -> "NeumannILUPreconditioner":
+                 const_factors: bool = True,
+                 prefer_mono: bool = False) -> "NeumannILUPreconditioner":
         """``pad_like``: a :class:`PallasDIAOperator` for A — build N_l/N_u as
         Pallas operators in the *same padded layout*, so the whole msolve maps
         padded→padded vectors at kernel bandwidth (zero pads are a fixed point
@@ -179,32 +180,40 @@ class NeumannILUPreconditioner:
             fl = _fused_series_operator(nl, terms)
             fu = _fused_series_operator(nu, terms)
             if fl is not None and fu is not None:
-                # go further: approximate D⁻¹ by its interior constant as
-                # well and compose the whole M⁻¹ ≈ P_u · d* · P_l into ONE
-                # polynomial stencil — msolve = one matrix-free launch
-                # (x read once, y written once).  Same |dc|/sub bounds as
-                # the triangles, so if they fused, mono usually does too.
-                import dataclasses as _dc
+                # ``prefer_mono``: additionally approximate D⁻¹ by its
+                # interior constant and compose the whole M⁻¹ ≈ P_u·d*·P_l
+                # into ONE polynomial stencil — msolve = one matrix-free
+                # launch, ONE halo-exchange round when distributed.
+                # Single-chip measurement (10M rows): the ~19-term mono
+                # kernel is marginally compute-bound and its VMEM block cap
+                # slows A's matvec too — "series" (2 launches, exact D) wins
+                # there, so it is the single-chip default; the distributed
+                # engine prefers mono for the halved collectives.
+                if prefer_mono:
+                    import dataclasses as _dc
 
-                from cuda_mat_tpu.ops.pallas_stencil import (
-                    compose_stencil_terms, strided_offsets)
+                    from cuda_mat_tpu.ops.pallas_stencil import (
+                        compose_stencil_terms, strided_offsets)
 
-                r = pad_like.n // pad_like.c_grid
-                d_star = float(diag[(r // 2) * pad_like.c_grid
-                                    + pad_like.c_grid // 2])
-                try:
-                    mt = compose_stencil_terms(
-                        fu.terms,
-                        tuple((o, d, v / d_star) for (o, d, v) in fl.terms),
-                        pad_like.c_grid, pad_like.stride)
-                    st = strided_offsets(mt, pad_like.c_grid, pad_like.stride)
-                    if max(abs(s[0]) for s in st) <= pad_like.sub:
-                        mono = _dc.replace(pad_like, terms=mt,
-                                           strided_terms=st)
-                        return cls(mono, None, jnp.zeros(0, inv_d.dtype),
-                                   terms, fused="mono")
-                except ValueError:
-                    pass
+                    r = pad_like.n // pad_like.c_grid
+                    d_star = float(diag[(r // 2) * pad_like.c_grid
+                                        + pad_like.c_grid // 2])
+                    try:
+                        mt = compose_stencil_terms(
+                            fu.terms,
+                            tuple((o, d, v / d_star)
+                                  for (o, d, v) in fl.terms),
+                            pad_like.c_grid, pad_like.stride)
+                        st = strided_offsets(mt, pad_like.c_grid,
+                                             pad_like.stride)
+                        if max(abs(s[0]) for s in st) <= pad_like.sub \
+                                and _vmem_fits(pad_like, len(mt)):
+                            mono = _dc.replace(pad_like, terms=mt,
+                                               strided_terms=st)
+                            return cls(mono, None, jnp.zeros(0, inv_d.dtype),
+                                       terms, fused="mono")
+                    except ValueError:
+                        pass
                 return cls(fl, fu, inv_d, terms, fused="series")
             return cls(nl, nu, inv_d, terms)
         if pad_like is not None:
@@ -289,10 +298,20 @@ jax.tree_util.register_dataclass(PaddedPreconditioner,
                                  meta_fields=[])
 
 
+def _vmem_fits(op, nterms: int) -> bool:
+    """Scoped-VMEM fit of an nterms-term const-stencil kernel at ``op``'s
+    block (see pallas_stencil.stencil_vmem_block_cap; always true in
+    interpret mode)."""
+    from cuda_mat_tpu.ops.pallas_stencil import stencil_vmem_block_cap
+
+    return op.interpret or op.block <= stencil_vmem_block_cap(nterms)
+
+
 def _fused_series_operator(n_op, k: int):
     """Whole-series stencil ``P = Σ_{j<k} (−N)^j`` sharing ``n_op``'s layout,
     or None when a polynomial offset exceeds the layout's gap width or halo
-    sub-block (the sequential series still applies)."""
+    sub-block, or the kernel would overflow scoped VMEM (the sequential
+    series still applies)."""
     import dataclasses as _dc
 
     from cuda_mat_tpu.ops.pallas_stencil import (neumann_poly_terms,
@@ -303,7 +322,7 @@ def _fused_series_operator(n_op, k: int):
     except ValueError:
         return None
     st = strided_offsets(pt, n_op.c_grid, n_op.stride)
-    if max(abs(s[0]) for s in st) > n_op.sub:
+    if max(abs(s[0]) for s in st) > n_op.sub or not _vmem_fits(n_op, len(pt)):
         return None
     return _dc.replace(n_op, terms=pt, strided_terms=st)
 

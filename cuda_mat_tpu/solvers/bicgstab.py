@@ -524,19 +524,22 @@ def solve(a, b, config: SolverConfig = DEFAULT_CONFIG,
                 NeumannILUPreconditioner)
 
             if config.neumann_const_factors and hasattr(op, "stride"):
-                # widen the layout's halo sub-block so the fused whole-series
-                # factor stencils (max offset ~(k-1)*stride) share it; costs
-                # only x overfetch on A's matvec
-                need = (config.neumann_terms - 1) * max(
-                    abs(s[0]) for s in op.strided_terms)
-                if need > op.sub:
-                    from cuda_mat_tpu.ops.pallas_stencil import (
-                        ConstStencilOperator)
+                # re-plan the layout for the fused series stencils: widen the
+                # halo sub-block to their polynomial offsets (costs only x
+                # overfetch on A's matvec) and cap the block so the widest
+                # kernel fits the scoped-VMEM budget
+                from cuda_mat_tpu.ops.pallas_stencil import (
+                    ConstStencilOperator, plan_const_neumann_layout)
 
+                plan = plan_const_neumann_layout(
+                    op.terms, config.neumann_terms, op.c_grid, op.stride)
+                if plan is not None and (plan[0] > op.sub
+                                         or op.block > plan[1]):
                     try:
                         op = ConstStencilOperator.from_dia(
                             a.to_dia(max_diags=16), dtype=dt,
-                            interpret=op.interpret, min_sub=need)
+                            interpret=op.interpret, min_sub=plan[0],
+                            block_target=plan[1])
                     except ValueError:
                         pass  # layout infeasible: sequential series applies
             try:

@@ -173,7 +173,8 @@ def test_mono_msolve_matches_dense_polynomial(rng):
     a = grid_laplacian(24, 126)
     op = _stencil_op(a)
     pre = NeumannILUPreconditioner.from_csr(a, dtype=jnp.float64, terms=3,
-                                            pad_like=op, const_factors=True)
+                                            pad_like=op, const_factors=True,
+                                            prefer_mono=True)
     assert pre.fused == "mono"
     low, up, diag = neumann_factors(a)
     n, c = a.n, op.c_grid
