@@ -38,6 +38,12 @@ def main(argv=None):
                    help="force cpu (with XLA_FLAGS device count) or tpu")
     p.add_argument("--solve", action="store_true",
                    help="also time a fixed-iteration distributed solve")
+    p.add_argument("--engine", choices=["xla", "pallas", "stencil"],
+                   default="xla",
+                   help="per-shard SpMV engine; 'stencil' generates a 2-D"
+                        " grid Laplacian (row length = --grid-cols) and runs"
+                        " the gap-strided flagship kernel")
+    p.add_argument("--grid-cols", type=int, default=100)
     args = p.parse_args(argv)
 
     if args.platform:
@@ -51,8 +57,12 @@ def main(argv=None):
 
     from cuda_mat_tpu.formats.dia import DIAMatrix
     from cuda_mat_tpu.parallel.mesh import make_mesh
-    from cuda_mat_tpu.parallel.partition import RowPartitionedBanded
-    from cuda_mat_tpu.parallel.dist_solver import make_dist_spmv
+    from cuda_mat_tpu.parallel.partition import (RowPartitionedBanded,
+                                                 RowPartitionedStencil)
+    from cuda_mat_tpu.parallel.dist_solver import (_pallas_blocks,
+                                                   make_dist_spmv)
+
+    interpret = jax.default_backend() != "tpu"
 
     navail = len(jax.devices())
     results = []
@@ -62,7 +72,7 @@ def main(argv=None):
             print(f"skip ndev={ndev}: only {navail} devices", file=sys.stderr)
             continue
         n = args.rows_per_dev * ndev
-        w = args.bandwidth
+        w = args.bandwidth if args.engine != "stencil" else args.grid_cols
         # banded Laplacian-like system: diag 4, off-diagonals -1 at +-1, +-w
         offsets = (-w, -1, 0, 1, w)
         data = np.zeros((5, n), dtype=np.float32)
@@ -72,11 +82,27 @@ def main(argv=None):
                 continue
             lo, hi = max(0, -off), min(n, n - off)
             data[k, lo:hi] = -1.0
+        if args.engine == "stencil":
+            # true 2-D grid Laplacian (boundary zeros on the +-1 seams) so
+            # detection proves the constant-stencil structure
+            c = args.grid_cols
+            assert n % c == 0, "rows_per_dev*ndev must be divisible by --grid-cols"
+            col = np.arange(n) % c
+            data[1, col == 0] = 0.0
+            data[3, col == c - 1] = 0.0
         dia = DIAMatrix(n, n, np.asarray(offsets, dtype=np.int32), data,
                         int(np.count_nonzero(data)))
         mesh = make_mesh(ndev)
-        part = RowPartitionedBanded.from_matrix(dia, ndev)
-        fn, put = make_dist_spmv(part, mesh, dtype=jnp.dtype(args.dtype))
+        if args.engine == "stencil":
+            part = RowPartitionedStencil.from_matrix(dia, ndev)
+        elif args.engine == "pallas":
+            part = RowPartitionedBanded.from_matrix(
+                dia, ndev, align=_pallas_blocks(w, interpret)[0])
+        else:
+            part = RowPartitionedBanded.from_matrix(dia, ndev)
+        fn, put = make_dist_spmv(part, mesh, dtype=jnp.dtype(args.dtype),
+                                 local_engine=args.engine,
+                                 interpret=interpret)
         x = put(np.ones(n))
         # chained applications; scale keeps iterates bounded
         @jax.jit

@@ -55,6 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default="ilu0")
     p.add_argument("--neumann-terms", type=int, default=3,
                    help="series terms k for --precond ilu0_neumann")
+    p.add_argument("--neumann-exact-factors", action="store_true",
+                   help="ilu0_neumann on the stencil path: keep exact-pattern"
+                        " restrided factors instead of the fused"
+                        " interior-constant series (see BASELINE.md r3)")
     p.add_argument("--maxit", type=int, default=2000)
     p.add_argument("--tol", type=float, default=1e-6)
     p.add_argument("--dtype", choices=["float32", "float64"], default=None,
@@ -162,7 +166,8 @@ def main(argv=None) -> int:
     cfg = SolverConfig(maxit=args.maxit, tol=args.tol, debug=args.debug,
                        dtype=args.dtype, precond=args.precond,
                        trisolve_block=args.trisolve_block,
-                       reorder=args.reorder, neumann_terms=args.neumann_terms)
+                       reorder=args.reorder, neumann_terms=args.neumann_terms,
+                       neumann_const_factors=not args.neumann_exact_factors)
 
     x0 = None
     if args.resume:

@@ -50,3 +50,13 @@ def test_cli_format_bell(capsys):
                "--precond", "none", "--platform", "cpu", "--x64"])
     assert rc == 0
     assert "iterations" in capsys.readouterr().out
+
+
+def test_cli_neumann_exact_factors(capsys):
+    from cuda_mat_tpu.cli import main
+
+    rc = main(["-M", "data/mat900.mtx", "--precond", "ilu0_neumann",
+               "--format", "stencil", "--neumann-exact-factors",
+               "--platform", "cpu", "--x64"])
+    assert rc == 0
+    assert "iterations" in capsys.readouterr().out

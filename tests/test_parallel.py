@@ -281,6 +281,12 @@ def test_weak_scaling_harness_runs(capsys):
     out = json.loads(line)
     assert out["metric"] == "weak_scaling_efficiency"
     assert len(out["configs"]) == 2
+    # the flagship stencil engine through the same harness
+    ws.main(["--devices", "2", "--rows-per-dev", "8064", "--grid-cols", "126",
+             "--engine", "stencil", "--iters", "2", "--dtype", "float64"])
+    out_s = json.loads([l for l in capsys.readouterr().out.splitlines()
+                        if l.strip()][-1])
+    assert out_s["configs"][0]["ndev"] == 2
 
 
 @needs_8
