@@ -350,6 +350,154 @@ def const_stencil_spmv_padded(x_pad: jax.Array, gapmask: jax.Array, terms,
     )(jnp.asarray(base, jnp.int32).reshape(1), *([x_pad] * (k + 2)), gapmask)
 
 
+def _const_msolve_kernel(*refs, terms_l, terms_u, hpad, block, sub, np_true):
+    # Fused Neumann msolve: y = P_u · (inv_d ∘ (P_l x)) in ONE launch.
+    # refs = (base_ref [SMEM], x_sub_0..x_sub_{k+1}, d_sub_0..d_sub_{k+1},
+    #         gapext_ref, y_ref, u_scratch) — u is computed on the extended
+    #         region [row0 - hpad, row0 + block + hpad) held in VMEM scratch,
+    #         so the sequential two-launch series' intermediate never touches
+    #         HBM (~3 passes + 1 launch per msolve instead of ~7 + 2; the
+    #         reference's msolve role is pbicgstab.cu:92-98).
+    # Masking reproduces the sequential semantics bitwise: u = (acc·gap)·d
+    # with the *extended* periodic gapmask, then zeroed outside the global
+    # true rows [0, np_true) — exactly the values the P_l launch + XLA
+    # multiply would have produced (pad blocks zero, tail zero, gaps zero).
+    base_ref = refs[0]
+    k = block // sub
+    nv = k + 2
+    x_refs = refs[1:1 + nv]
+    d_refs = refs[1 + nv:1 + 2 * nv]
+    gap_ref, y_ref, u_ref = refs[-3], refs[-2], refs[-1]
+    i = pl.program_id(0)
+    g = pl.num_programs(0)
+    base = base_ref[0]
+    ext = block + 2 * hpad
+
+    @pl.when((i > 0) & (i < g - 1))
+    def _interior():
+        xs = jnp.concatenate([r[:] for r in x_refs])
+        vdt = xs.dtype
+        acc = None
+        for (off, scal) in terms_l:
+            xw = jax.lax.slice(xs, (sub - hpad + off,),
+                               (sub - hpad + off + ext,))
+            term = jnp.asarray(scal, vdt) * xw
+            acc = term if acc is None else acc + term
+        ds = jnp.concatenate([r[:] for r in d_refs])
+        dw = jax.lax.slice(ds, (sub - hpad,), (sub - hpad + ext,))
+        u_ref[:] = acc * gap_ref[:] * dw
+        row0 = base + (i - 1) * block   # global strided row of y[0]
+        e0 = row0 - hpad                # global strided row of u[0]
+
+        @pl.when((e0 < 0) | (e0 + ext > np_true))
+        def _u_edge():
+            # zero u outside the global true rows: the sequential P_l launch
+            # writes zeros to the pad blocks and the [np_true, npad) tail
+            t = e0 + jax.lax.broadcasted_iota(jnp.int32, (ext,), 0)
+            u_ref[:] = jnp.where((t >= 0) & (t < jnp.int32(np_true)),
+                                 u_ref[:], jnp.zeros_like(u_ref))
+
+        u = u_ref[:]
+        vdt = u.dtype
+        acc2 = None
+        for (off, scal) in terms_u:
+            uw = jax.lax.slice(u, (hpad + off,), (hpad + off + block,))
+            term = jnp.asarray(scal, vdt) * uw
+            acc2 = term if acc2 is None else acc2 + term
+        acc2 = acc2 * jax.lax.slice(gap_ref[:], (hpad,), (hpad + block,))
+
+        @pl.when(row0 + block > np_true)
+        def _tail():
+            t = row0 + jax.lax.broadcasted_iota(jnp.int32, (block,), 0)
+            y_ref[:] = jnp.where(t < jnp.int32(np_true), acc2,
+                                 jnp.zeros_like(acc2))
+
+        @pl.when(row0 + block <= np_true)
+        def _notail():
+            y_ref[:] = acc2
+
+    @pl.when((i == 0) | (i == g - 1))
+    def _edge():
+        y_ref[:] = jnp.zeros_like(y_ref)
+
+
+def msolve_halo(terms_u) -> int:
+    """Lane-aligned extension width ``hpad`` of the fused msolve kernel's
+    intermediate: P_u reads u at offsets up to max|off'_u|, rounded up so the
+    scratch/extended-gapmask shapes stay tile-aligned (Mosaic 1-D constraint,
+    CLAUDE.md)."""
+    h_u = max((abs(t[0]) for t in terms_u), default=0)
+    return _round_up(max(h_u, 1), 1024)
+
+
+def extend_gapmask(gapmask: np.ndarray, hpad: int) -> np.ndarray:
+    """Periodic extension of the per-block gapmask to
+    [−hpad, block + hpad) — block % stride == 0 makes the mask block-periodic,
+    so wrapping is exact.  Built once at preconditioner setup (host) and
+    passed VMEM-resident like the gapmask itself."""
+    gm = np.asarray(gapmask)
+    block = gm.shape[0]
+    assert hpad <= block
+    return np.concatenate([gm[block - hpad:], gm, gm[:hpad]])
+
+
+@partial(jax.jit, static_argnames=("terms_l", "terms_u", "np_true", "block",
+                                   "sub", "interpret"))
+def const_series_msolve_padded(x_pad: jax.Array, inv_d_pad: jax.Array,
+                               gapmask_ext: jax.Array, terms_l, terms_u,
+                               np_true: int, block: int, sub: int,
+                               interpret: bool = False,
+                               base=None) -> jax.Array:
+    """One-launch fused Neumann-series msolve
+    ``y = P_u · (inv_d ∘ (P_l x))`` on gap-strided block-halo padded vectors
+    (bitwise-equal to ``P_u.matvec(inv_d * P_l.matvec(x))`` with the
+    whole-series stencils of :func:`neumann_poly_terms`).
+
+    ``terms_l``/``terms_u``: static (strided offset, scalar) tuples of the
+    two series polynomials; ``inv_d_pad``: the exact 1/diag(U) vector in the
+    same padded layout (zeros in gaps/pads); ``gapmask_ext``: the
+    (block + 2·hpad,) extension from :func:`extend_gapmask` with
+    ``hpad = msolve_halo(terms_u)``; ``base`` as in
+    :func:`const_stencil_spmv_padded`.  Requires
+    ``max|off_l| + hpad <= sub`` (plan via :func:`plan_const_neumann_layout`).
+    """
+    npad = x_pad.shape[0] - 2 * block
+    assert npad % block == 0 and block % sub == 0
+    hpad = msolve_halo(terms_u)
+    h_l = max(abs(t[0]) for t in terms_l)
+    assert h_l + hpad <= sub, (h_l, hpad, sub)
+    assert hpad <= block
+    assert gapmask_ext.shape == (block + 2 * hpad,)
+    assert inv_d_pad.shape == x_pad.shape
+    g = npad // block + 2
+    k = block // sub
+    n_sub = (npad + 2 * block) // sub
+    if base is None:
+        base = jnp.zeros((1,), jnp.int32)
+
+    def sub_map(j):
+        return lambda i: (jnp.clip(i * k + j - 1, 0, n_sub - 1),)
+
+    base_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    sub_specs = [pl.BlockSpec((sub,), sub_map(j), memory_space=pltpu.VMEM)
+                 for j in range(k + 2)]
+    gap_spec = pl.BlockSpec((block + 2 * hpad,), lambda i: (0,),
+                            memory_space=pltpu.VMEM)
+    kernel = partial(_const_msolve_kernel, terms_l=terms_l, terms_u=terms_u,
+                     hpad=hpad, block=block, sub=sub, np_true=np_true)
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[base_spec] + sub_specs + sub_specs + [gap_spec],
+        out_specs=pl.BlockSpec((block,), lambda i: (i,),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((npad + 2 * block,), x_pad.dtype),
+        scratch_shapes=[pltpu.VMEM((block + 2 * hpad,), x_pad.dtype)],
+        interpret=interpret,
+    )(jnp.asarray(base, jnp.int32).reshape(1), *([x_pad] * (k + 2)),
+      *([inv_d_pad] * (k + 2)), gapmask_ext)
+
+
 def detect_const_stencil(dia, dc_max: int = 8, dr_max: int = 8):
     """Detect constant-coefficient 2-D grid-stencil structure in a DIA matrix.
 
@@ -655,14 +803,21 @@ def stencil_vmem_block_cap(nterms: int, itemsize: int = 4) -> int:
 
 
 def plan_const_neumann_layout(terms, k: int, c_grid: int, stride: int,
-                              prefer_mono: bool = False):
+                              prefer_mono: bool = False,
+                              fuse_kernel: bool = True):
     """Symbolically expand the Neumann-series pattern on A's own offsets
     (ILU(0) factors share A's sparsity) and return
     ``(min_sub, block_target, terms_upper_bound)`` such that the fused
     series — plus the mono composition when ``prefer_mono`` and it fits the
     gap — obey the kernel's halo and scoped-VMEM constraints.  Returns None
     when the series cannot fuse at all (|dc| past the gap at the
-    per-triangle level)."""
+    per-triangle level).
+
+    ``fuse_kernel``: additionally size the layout for the one-launch fused
+    msolve kernel (:func:`const_series_msolve_padded`): the halo sub-block
+    must cover ``max|off_l| + hpad`` (the P_l window of the extended u
+    region) and the scoped-VMEM working set holds both polynomials' shifted
+    windows at once."""
     lower = tuple((o, d, 1.0) for (o, d, _) in terms if o < 0)
     upper = tuple((o, d, 1.0) for (o, d, _) in terms if o > 0)
     if not lower or not upper:
@@ -679,8 +834,18 @@ def plan_const_neumann_layout(terms, k: int, c_grid: int, stride: int,
                        len(compose_stencil_terms(pu, pl, c_grid, stride)))
         except ValueError:
             pass  # mono exceeds the gap; per-triangle series still fuses
-    soffs = [((t[0] - t[1]) // c_grid) * stride + t[1] for t in pl + pu]
-    return max(abs(o) for o in soffs), stencil_vmem_block_cap(nmax), nmax
+    soffs_l = [((t[0] - t[1]) // c_grid) * stride + t[1] for t in pl]
+    soffs_u = [((t[0] - t[1]) // c_grid) * stride + t[1] for t in pu]
+    min_sub = max(abs(o) for o in soffs_l + soffs_u)
+    if fuse_kernel:
+        hpad = _round_up(max(max(abs(o) for o in soffs_u), 1), 1024)
+        min_sub = max(min_sub, max(abs(o) for o in soffs_l) + hpad)
+        # the fused kernel holds P_l windows over (block + 2 hpad) plus P_u
+        # windows, x/d streams, u scratch and the extended mask — model it
+        # as (|P_l| + |P_u| + 4) block-sized buffers on top of the matvec
+        # kernel's own +6
+        nmax = max(nmax, len(pl) + len(pu) + 4)
+    return min_sub, stencil_vmem_block_cap(nmax), nmax
 
 
 def restride_dia(dia, c_grid: int, stride: int):

@@ -242,6 +242,47 @@ def _make_local_matvec_stencil(part, axis, interpret, overlap: bool = True,
     return matvec
 
 
+def _make_local_msolve_kernel(part, axis, interpret, terms_l, terms_u):
+    """Per-shard ONE-launch fused Neumann msolve
+    (:func:`cuda_mat_tpu.ops.pallas_stencil.const_series_msolve_padded`):
+    ``y = P_u (inv_d ∘ P_l x)`` with the intermediate held in VMEM scratch —
+    one ppermute pair per application (like "mono") while keeping the exact
+    diagonal (like "series").  ``terms_l``/``terms_u``: strided (off, scal)
+    polynomials.  The inv_d stream with neighbor halos is static setup data
+    (see the d_pad construction in :func:`dist_bicgstab`), so no second
+    exchange is needed.  Replaces the reference msolve role
+    pbicgstab.cu:92-98 shard-parallel."""
+    from cuda_mat_tpu.ops.pallas_stencil import (const_series_msolve_padded,
+                                                 msolve_halo)
+
+    hpad = msolve_halo(terms_u)
+    h_l = max(abs(t[0]) for t in terms_l)
+    w = h_l + hpad
+    s, block, sub = part.shard_rows, part.block, part.sub
+    np_true, ndev = part.np_true, part.ndev
+    assert w <= sub and w <= s and hpad <= block
+    send_right = [(i, i + 1) for i in range(ndev - 1)]
+    send_left = [(i + 1, i) for i in range(ndev - 1)]
+
+    def msolve(gap_ext, d_pad, xl):
+        base = (jax.lax.axis_index(axis) * s).astype(jnp.int32)
+        x_pad = jnp.zeros(s + 2 * block, xl.dtype)
+        x_pad = jax.lax.dynamic_update_slice(x_pad, xl, (block,))
+        if ndev > 1:
+            left_halo = jax.lax.ppermute(xl[-w:], axis, send_right)
+            right_halo = jax.lax.ppermute(xl[:w], axis, send_left)
+            x_pad = jax.lax.dynamic_update_slice(x_pad, left_halo,
+                                                 (block - w,))
+            x_pad = jax.lax.dynamic_update_slice(x_pad, right_halo,
+                                                 (block + s,))
+        y_pad = const_series_msolve_padded(x_pad, d_pad, gap_ext, terms_l,
+                                           terms_u, np_true, block, sub,
+                                           interpret, base=base.reshape(1))
+        return jax.lax.dynamic_slice(y_pad, (block,), (s,))
+
+    return msolve
+
+
 def _psum_dot(axis=ROWS_AXIS):
     def dot(u, v):
         return jax.lax.psum(jnp.dot(u, v), axis)
@@ -616,12 +657,14 @@ def make_dist_bicgstab(a, mesh: Mesh,
             # fused whole-series factors: each triangular series collapses to
             # ONE matrix-free stencil launch per application (measured 2.0x
             # e2e over restrided exact-pattern factors at 10M rows) — no
-            # factor data to shard at all; same layout/halos as A.  When the
-            # composed polynomial M⁻¹ ≈ P_u·d*·P_l also fits, the whole
-            # msolve is ONE per-shard launch + one ppermute pair ("mono").
+            # factor data to shard at all; same layout/halos as A.  Best:
+            # the whole msolve P_u·(inv_d ∘ P_l·x) as ONE per-shard launch +
+            # one ppermute pair with the intermediate in VMEM scratch
+            # ("kernel" — exact diagonal, mono's collective count); fallbacks
+            # mono (const-d* composition) then per-triangle series.
             try:
                 from cuda_mat_tpu.ops.pallas_stencil import (
-                    compose_stencil_terms, const_factor_terms,
+                    compose_stencil_terms, const_factor_terms, msolve_halo,
                     neumann_poly_terms, stencil_vmem_block_cap,
                     strided_offsets)
 
@@ -631,6 +674,7 @@ def make_dist_bicgstab(a, mesh: Mesh,
                                  <= stencil_vmem_block_cap(nterms)))
 
                 polys = []
+                sts = []
                 mvs = []
                 for f in (low, up):
                     t, _ = const_factor_terms(f.to_dia(max_diags=128),
@@ -642,6 +686,7 @@ def make_dist_bicgstab(a, mesh: Mesh,
                     if not _fits(len(pt), w_s):
                         raise ValueError("series exceeds the layout")
                     polys.append(pt)
+                    sts.append(st)
                     mvs.append(_make_local_matvec_stencil(
                         part, axis, interpret, sterms=st, halo=w_s))
                 fac_mvs = mvs
@@ -649,20 +694,56 @@ def make_dist_bicgstab(a, mesh: Mesh,
                 r_grid = part.n // part.c_grid
                 d_star = float(diag_m[(r_grid // 2) * part.c_grid
                                       + part.c_grid // 2])
-                try:
-                    mt = compose_stencil_terms(
-                        polys[1],
-                        tuple((o, d, v / d_star) for (o, d, v) in polys[0]),
-                        part.c_grid, part.stride)
-                    stm = strided_offsets(mt, part.c_grid, part.stride)
-                    w_m = max(abs(o) for o, _ in stm)
-                    if _fits(len(mt), w_m):
-                        fac_mvs = [_make_local_matvec_stencil(
-                            part, axis, interpret, sterms=stm, halo=w_m)]
-                        fac_fused = "mono"
-                except ValueError:
-                    pass
+                hpad = msolve_halo(sts[1])
+                h_l = max(abs(o) for o, _ in sts[0])
+                w_k = h_l + hpad
+                if (w_k <= part.sub and w_k <= part.shard_rows
+                        and hpad <= part.block
+                        and (interpret or part.block <= stencil_vmem_block_cap(
+                            len(polys[0]) + len(polys[1]) + 4))):
+                    from cuda_mat_tpu.ops.pallas_stencil import extend_gapmask
+
+                    fac_mvs = [_make_local_msolve_kernel(
+                        part, axis, interpret, sts[0], sts[1])]
+                    fac_fused = "kernel"
+                    fac_args.append(put_global(
+                        np.asarray(extend_gapmask(part.gapmask, hpad), dt),
+                        NamedSharding(mesh, P())))
+                    fac_specs.append(P())
+                    # inv_d stream with neighbor halos baked in at setup (the
+                    # kernel reads d over [row0-hpad, row0+block+hpad), which
+                    # crosses shard boundaries): per shard the (s + 2*block,)
+                    # window of the global strided inv_d, fill 1.0 outside
+                    # (gap/pad u cells are already zero before the multiply)
+                    invd_g = np.concatenate([
+                        np.ones(part.block),
+                        part.strided_scatter(1.0 / diag_m, fill=1.0),
+                        np.ones(part.block)])
+                    s_r, blk_ = part.shard_rows, part.block
+                    d_pad = np.stack([
+                        invd_g[i * s_r: i * s_r + s_r + 2 * blk_]
+                        for i in range(ndev)])
+                    fac_args.append(put_global(
+                        np.asarray(d_pad.reshape(-1), dt), vec_sharding))
+                    fac_specs.append(P(axis))
+                else:
+                    try:
+                        mt = compose_stencil_terms(
+                            polys[1],
+                            tuple((o, d, v / d_star)
+                                  for (o, d, v) in polys[0]),
+                            part.c_grid, part.stride)
+                        stm = strided_offsets(mt, part.c_grid, part.stride)
+                        w_m = max(abs(o) for o, _ in stm)
+                        if _fits(len(mt), w_m):
+                            fac_mvs = [_make_local_matvec_stencil(
+                                part, axis, interpret, sterms=stm, halo=w_m)]
+                            fac_fused = "mono"
+                    except ValueError:
+                        pass
             except ValueError:
+                fac_args = []
+                fac_specs = []
                 fac_mvs = []
                 fac_fused = False
         for f in () if fac_fused else (low, up):
@@ -761,6 +842,13 @@ def make_dist_bicgstab(a, mesh: Mesh,
             return precond_core(mv, tri.msolve, dot, x0_l, b_l, tol_, maxit,
                                 debug)
         if mode == "ilu0_neumann":
+            if fac_fused == "kernel":
+                kernel_mv = fac_mvs[0]
+                gap_ext_l, d_pad_l = fac_l
+
+                return precond_core(
+                    mv, lambda f: kernel_mv(gap_ext_l, d_pad_l, f), dot,
+                    x0_l, b_l, tol_, maxit, debug)
             if fac_fused == "mono":
                 mono_mv = fac_mvs[0]
                 return precond_core(mv, lambda f: mono_mv(mat_l[0], f), dot,

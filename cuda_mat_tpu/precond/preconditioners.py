@@ -140,10 +140,15 @@ class NeumannILUPreconditioner:
     terms: int       # static k (total series terms; k=1 degrades to Jacobi)
     fused: object = False  # static: False = sequential series;
                      # "series" = nl/nu are whole-series stencils (one launch
-                     # per triangle); "mono" = nl is the single composed
-                     # polynomial P_u·d*·P_l — msolve is ONE kernel launch
-                     # (the diagonal is approximated by its interior constant
-                     # too; measured +0 iterations at tol 1e-4 and 1e-8)
+                     # per triangle); "kernel" = the whole msolve
+                     # P_u·(inv_d ∘ P_l·x) runs as ONE Pallas launch with the
+                     # intermediate held in VMEM scratch (bitwise-equal to
+                     # "series", ~3 HBM passes instead of ~7); "mono" = nl is
+                     # the single composed polynomial P_u·d*·P_l — msolve is
+                     # ONE kernel launch (the diagonal is approximated by its
+                     # interior constant too; measured +0 iterations at tol
+                     # 1e-4 and 1e-8)
+    gap_ext: object = None  # (block + 2·hpad,) extended gapmask ("kernel")
 
     @classmethod
     def from_csr(cls, csr, dtype=jnp.float32, terms: int = 3,
@@ -214,6 +219,22 @@ class NeumannILUPreconditioner:
                                        terms, fused="mono")
                     except ValueError:
                         pass
+                # one-launch fused msolve: requires the halo sub-block to
+                # cover P_l's window over the extended u region and both
+                # polynomials' VMEM working sets at once (layouts planned by
+                # plan_const_neumann_layout default to this)
+                from cuda_mat_tpu.ops.pallas_stencil import (extend_gapmask,
+                                                             msolve_halo)
+
+                hpad = msolve_halo(fu.strided_terms)
+                h_l = max(abs(t[0]) for t in fl.strided_terms)
+                if (h_l + hpad <= pad_like.sub and hpad <= pad_like.block
+                        and _vmem_fits(pad_like,
+                                       len(fl.terms) + len(fu.terms) + 4)):
+                    gap_ext = jnp.asarray(extend_gapmask(
+                        np.asarray(pad_like.gapmask), hpad))
+                    return cls(fl, fu, inv_d, terms, fused="kernel",
+                               gap_ext=gap_ext)
                 return cls(fl, fu, inv_d, terms, fused="series")
             return cls(nl, nu, inv_d, terms)
         if pad_like is not None:
@@ -247,6 +268,15 @@ class NeumannILUPreconditioner:
     def msolve(self, f: jax.Array) -> jax.Array:
         if self.fused == "mono":
             return self.nl.matvec(f)
+        if self.fused == "kernel":
+            from cuda_mat_tpu.ops.pallas_stencil import (
+                const_series_msolve_padded)
+
+            op = self.nl
+            return const_series_msolve_padded(
+                f, self.inv_d, self.gap_ext, op.strided_terms,
+                self.nu.strided_terms, op.np_true, op.block, op.sub,
+                op.interpret)
         if self.fused:
             return self.nu.matvec(self.inv_d * self.nl.matvec(f))
         y = f
@@ -264,7 +294,7 @@ class NeumannILUPreconditioner:
 
 
 jax.tree_util.register_dataclass(NeumannILUPreconditioner,
-                                 data_fields=["nl", "nu", "inv_d"],
+                                 data_fields=["nl", "nu", "inv_d", "gap_ext"],
                                  meta_fields=["terms", "fused"])
 
 

@@ -206,6 +206,65 @@ def test_mono_msolve_matches_dense_polynomial(rng):
                                rtol=1e-12, atol=1e-12)
 
 
+def test_kernel_msolve_bitwise_matches_series(rng):
+    """The one-launch fused msolve kernel (fused == "kernel") is bitwise-equal
+    to the two-launch series P_u.matvec(inv_d * P_l.matvec(x)): same term
+    order, same mask-multiply order (IEEE multiply commutes), the in-VMEM
+    intermediate u zeroed outside the global true rows exactly where the
+    sequential P_l launch writes zeros."""
+    import dataclasses
+
+    from cuda_mat_tpu.models.problems import grid_laplacian
+    from cuda_mat_tpu.ops.pallas_stencil import (ConstStencilOperator,
+                                                 plan_const_neumann_layout)
+
+    for (r, c, k) in [(24, 126, 3), (17, 30, 3), (40, 12, 4), (8, 100, 5)]:
+        a = grid_laplacian(r, c)
+        op0 = _stencil_op(a)
+        plan = plan_const_neumann_layout(op0.terms, k, op0.c_grid, op0.stride)
+        op = ConstStencilOperator.from_dia(
+            a.to_dia(max_diags=16), dtype=jnp.float64, interpret=True,
+            min_sub=plan[0], block_target=plan[1])
+        pre = NeumannILUPreconditioner.from_csr(a, dtype=jnp.float64,
+                                                terms=k, pad_like=op)
+        assert pre.fused == "kernel", (r, c, k, pre.fused)
+        seq = dataclasses.replace(pre, fused="series", gap_ext=None)
+        f = op.pad_vec(rng.standard_normal(a.n))
+        yk = np.asarray(pre.msolve(f))
+        ys = np.asarray(seq.msolve(f))
+        assert np.array_equal(yk, ys), (r, c, k, np.abs(yk - ys).max())
+        # padded vectors stay a fixed point: pads/gaps of the output are 0
+        assert np.array_equal(
+            yk, np.asarray(op.pad_vec(op.unpad_vec(jnp.asarray(yk)))))
+
+
+def test_kernel_msolve_engages_through_solve(rng):
+    """solve() on the stencil path plans the layout for the fused msolve
+    kernel and from_csr selects it (the production single-chip msolve)."""
+    from unittest import mock
+
+    from cuda_mat_tpu.models.problems import grid_laplacian
+    from cuda_mat_tpu.precond.preconditioners import NeumannILUPreconditioner
+
+    a = grid_laplacian(40, 126)
+    b = a.matvec(rng.standard_normal(a.n))
+    cfg = SolverConfig(maxit=2000, tol=1e-4, dtype="float64",
+                       precond="ilu0_neumann", neumann_terms=3)
+    made = []
+    orig = NeumannILUPreconditioner.from_csr.__func__
+
+    def spy(cls, *args, **kw):
+        pre = orig(cls, *args, **kw)
+        made.append(pre.fused)
+        return pre
+
+    with mock.patch.object(NeumannILUPreconditioner, "from_csr",
+                           classmethod(spy)):
+        r = solve(a, b, cfg, format="stencil")
+    assert r.converged
+    assert made == ["kernel"]
+
+
 def test_const_factor_solve_converges_like_exact_pattern(rng):
     """Const-factor (boundary-layer-perturbed) Neumann costs ~zero extra
     iterations at the production tolerance."""

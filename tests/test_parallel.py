@@ -457,6 +457,35 @@ def test_dist_bicgstab_stencil_matches_single_chip(grid, rng):
 
 
 @needs_8
+def test_dist_stencil_neumann_uses_fused_msolve_kernel(grid, rng, monkeypatch):
+    """The distributed const-factor Neumann msolve selects the one-launch
+    fused kernel (one ppermute pair per application, exact diagonal) and
+    tracks the single-chip kernel-mode trajectory."""
+    from cuda_mat_tpu.parallel import dist_solver
+    from cuda_mat_tpu.solvers.bicgstab import solve
+
+    calls = []
+    orig = dist_solver._make_local_msolve_kernel
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(dist_solver, "_make_local_msolve_kernel", spy)
+    b = rng.uniform(1.0, 5.0, grid.n)
+    cfg = SolverConfig(maxit=2000, tol=1e-8, precond="ilu0_neumann",
+                       neumann_terms=3)
+    r_d = dist_bicgstab(grid, b, make_mesh(8), cfg, local_engine="stencil")
+    assert calls, "fused msolve kernel not selected"
+    r_s = solve(grid, b, cfg, format="stencil")
+    assert r_d.converged and r_s.converged
+    assert abs(r_d.iters - r_s.iters) <= max(3, 0.15 * r_s.iters)
+    np.testing.assert_allclose(r_d.x, r_s.x, rtol=1e-6, atol=1e-8)
+    rel = np.linalg.norm(b - grid.matvec(r_d.x)) / np.linalg.norm(b)
+    assert rel < 1e-7
+
+
+@needs_8
 def test_dist_stencil_ilu0_neumann(grid, rng):
     """The TPU production config — flagship stencil matvec + restrided
     Neumann-ILU(0) factors — distributes and tracks the single-chip
