@@ -184,6 +184,22 @@ def main():
         except Exception as e:
             info["solve_1m_error"] = repr(e)[:200]
 
+        # ---- 10M-row flagship solve: stencil matvec + one-launch fused
+        # Neumann msolve + in-kernel dot epilogues (the headline e2e number;
+        # BASELINE.md r3 tracks it across rounds: r2 650 ms -> r3 284 ms)
+        try:
+            a10 = grid_laplacian(100000, 100)
+            b10 = np.ones(a10.n)
+            cfg10 = SolverConfig(maxit=2000, tol=1e-4, dtype="float32",
+                                 precond="ilu0_neumann", neumann_terms=4)
+            solve(a10, b10, cfg10)               # compile
+            r10 = solve(a10, b10, cfg10)         # warm
+            info.update(solve_10m_ms=round(r10.dt_alg * 1e3, 1),
+                        solve_10m_iters=r10.iters,
+                        solve_10m_status=r10.status.name)
+        except Exception as e:
+            info["solve_10m_error"] = repr(e)[:200]
+
         # ---- distributed flagship on a mesh(1): the gap-strided stencil
         # engine + restrided Neumann factors through shard_map/ppermute/psum
         # (the multi-chip production config, executed on the one real chip —
@@ -212,9 +228,9 @@ def main():
     }
     # solve-level metrics ride in the same line so the driver records them
     for k in ("stencil_nnz_per_s", "stencil_vs_dia", "solve_1m_ms",
-              "refined_rel_residual", "refined_ms", "mat10000_dt_alg_ms",
-              "mat10000_refined_rel_residual", "mat10000_refined_ms",
-              "dist_stencil_1m_ms"):
+              "solve_10m_ms", "refined_rel_residual", "refined_ms",
+              "mat10000_dt_alg_ms", "mat10000_refined_rel_residual",
+              "mat10000_refined_ms", "dist_stencil_1m_ms"):
         if k in info:
             out[k] = info[k]
     print(json.dumps(out))

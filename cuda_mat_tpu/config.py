@@ -58,6 +58,14 @@ class SolverConfig:
     # SpMV, outside dtAlg) and report it as SolveResult.residual_true; the
     # in-loop recursive residual drifts from the true residual in f32
     true_residual: bool = True
+    # EXPERIMENTAL: fuse the alpha/omega dot reductions into the stencil
+    # matvec kernel's epilogue (ConstStencilOperator.matvec_dots) — saves one
+    # full HBM re-read of y/w per reduction.  Off by default: the epilogue's
+    # cross-grid VMEM reduction sends the axon remote Mosaic compile into a
+    # multi-minute/hung state (see BASELINE.md r3 dot-epilogue note);
+    # correct in interpret mode (tests) — re-enable once the toolchain
+    # compiles it.
+    fused_dots: bool = False
 
     def replace(self, **kw) -> "SolverConfig":
         return dataclasses.replace(self, **kw)

@@ -350,6 +350,126 @@ def const_stencil_spmv_padded(x_pad: jax.Array, gapmask: jax.Array, terms,
     )(jnp.asarray(base, jnp.int32).reshape(1), *([x_pad] * (k + 2)), gapmask)
 
 
+def _const_stencil_dots_kernel(*refs, terms, block, sub, np_true, n_w,
+                               with_self):
+    # y = A x plus fused dot epilogues: per-lane partials of <w_j, y> (and
+    # <y, y> when ``with_self``) accumulated in a VMEM (n_dots, 128) block
+    # that stays resident across the sequential grid (constant index map) —
+    # the solver's alpha/omega reductions then cost zero extra HBM passes
+    # over y/w instead of one full re-read each (ROADMAP r3 "fold dot
+    # partials into the kernels' epilogue"; replaces the cublasDdot call
+    # sites pbicgstab.cu:106,135-136 fused with the csrmv at :104,:132).
+    # The final 128-lane sums happen in XLA on the tiny output.
+    # refs = (base_ref, x_sub_0..x_sub_{k+1}, gapmask_ref, w_0..w_{n_w-1},
+    #         y_ref, dot_ref[VMEM (n_dots, 128)])
+    base_ref = refs[0]
+    k = block // sub
+    x_refs = refs[1:1 + (k + 2)]
+    gap_ref = refs[1 + (k + 2)]
+    w_refs = refs[2 + (k + 2): 2 + (k + 2) + n_w]
+    y_ref, dot_ref = refs[-2], refs[-1]
+    i = pl.program_id(0)
+    g = pl.num_programs(0)
+    base = base_ref[0]
+
+    @pl.when(i == 0)
+    def _init():
+        dot_ref[...] = jnp.zeros_like(dot_ref)
+
+    @pl.when((i > 0) & (i < g - 1))
+    def _interior():
+        xs = jnp.concatenate([r[:] for r in x_refs])
+        vdt = xs.dtype
+        acc = None
+        for (off, scal) in terms:
+            xw = jax.lax.slice(xs, (sub + off,), (sub + off + block,))
+            term = jnp.asarray(scal, vdt) * xw
+            acc = term if acc is None else acc + term
+        acc = acc * gap_ref[:]
+        row0 = base + (i - 1) * block
+
+        @pl.when(row0 + block > np_true)
+        def _tail():
+            t = row0 + jax.lax.broadcasted_iota(jnp.int32, (block,), 0)
+            y_ref[:] = jnp.where(t < jnp.int32(np_true), acc,
+                                 jnp.zeros_like(acc))
+
+        @pl.when(row0 + block <= np_true)
+        def _notail():
+            y_ref[:] = acc
+
+        yv = y_ref[:]     # the final (masked) block — read-back from VMEM
+        for j in range(n_w):
+            part = (w_refs[j][:] * yv).reshape(block // 128, 128)
+            dot_ref[j, :] = dot_ref[j, :] + jnp.sum(part, axis=0)
+        if with_self:
+            part = (yv * yv).reshape(block // 128, 128)
+            dot_ref[n_w, :] = dot_ref[n_w, :] + jnp.sum(part, axis=0)
+
+    @pl.when((i == 0) | (i == g - 1))
+    def _edge():
+        y_ref[:] = jnp.zeros_like(y_ref)
+
+
+@partial(jax.jit, static_argnames=("terms", "np_true", "block", "sub",
+                                   "with_self", "interpret"))
+def const_stencil_spmv_dots_padded(x_pad: jax.Array, gapmask: jax.Array, ws,
+                                   terms, np_true: int, block: int, sub: int,
+                                   with_self: bool = False,
+                                   interpret: bool = False, base=None):
+    """``(y_pad, dots)`` where ``y_pad = A x_pad`` (identical values to
+    :func:`const_stencil_spmv_padded`) and ``dots[j] = <ws[j], y>``, plus
+    ``dots[-1] = <y, y>`` when ``with_self`` — reductions fused into the
+    kernel's epilogue (lane-partial sums accumulated across the grid;
+    reduction order differs from ``jnp.dot``'s tree, an f32-chaos-level
+    trajectory perturbation).  Padded/gap cells of both y and the
+    (padded-protocol) weights are zero, so the partials equal the
+    true-coordinate dots exactly."""
+    npad = x_pad.shape[0] - 2 * block
+    assert npad % block == 0 and block % sub == 0 and block % 128 == 0
+    offs = [t[0] for t in terms]
+    assert max(abs(min(offs)), abs(max(offs))) <= sub
+    assert gapmask.shape == (block,)
+    ws = tuple(ws)
+    for w in ws:
+        assert w.shape == x_pad.shape
+    n_dots = len(ws) + (1 if with_self else 0)
+    assert n_dots > 0
+    g = npad // block + 2
+    k = block // sub
+    n_sub = (npad + 2 * block) // sub
+    if base is None:
+        base = jnp.zeros((1,), jnp.int32)
+
+    def sub_map(j):
+        return lambda i: (jnp.clip(i * k + j - 1, 0, n_sub - 1),)
+
+    base_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    x_specs = [pl.BlockSpec((sub,), sub_map(j), memory_space=pltpu.VMEM)
+               for j in range(k + 2)]
+    gap_spec = pl.BlockSpec((block,), lambda i: (0,),
+                            memory_space=pltpu.VMEM)
+    w_specs = [pl.BlockSpec((block,), lambda i: (i,),
+                            memory_space=pltpu.VMEM) for _ in ws]
+    kernel = partial(_const_stencil_dots_kernel, terms=terms, block=block,
+                     sub=sub, np_true=np_true, n_w=len(ws),
+                     with_self=with_self)
+    y, lanes = pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[base_spec] + x_specs + [gap_spec] + w_specs,
+        out_specs=[pl.BlockSpec((block,), lambda i: (i,),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((n_dots, 128), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((npad + 2 * block,), x_pad.dtype),
+                   jax.ShapeDtypeStruct((n_dots, 128), x_pad.dtype)],
+        interpret=interpret,
+    )(jnp.asarray(base, jnp.int32).reshape(1), *([x_pad] * (k + 2)), gapmask,
+      *ws)
+    return y, jnp.sum(lanes, axis=1)
+
+
 def _const_msolve_kernel(*refs, terms_l, terms_u, hpad, block, sub, np_true):
     # Fused Neumann msolve: y = P_u · (inv_d ∘ (P_l x)) in ONE launch.
     # refs = (base_ref [SMEM], x_sub_0..x_sub_{k+1}, d_sub_0..d_sub_{k+1},
@@ -678,6 +798,13 @@ class ConstStencilOperator:
                                          self.strided_terms, self.np_true,
                                          self.block, self.sub,
                                          self.interpret)
+
+    def matvec_dots(self, x_pad: jax.Array, ws, with_self: bool = False):
+        """``(A x, (<w, Ax> for w in ws) [+ <Ax, Ax>])`` in one launch —
+        see :func:`const_stencil_spmv_dots_padded`."""
+        return const_stencil_spmv_dots_padded(
+            x_pad, self.gapmask, ws, self.strided_terms, self.np_true,
+            self.block, self.sub, with_self, self.interpret)
 
 
 jax.tree_util.register_dataclass(

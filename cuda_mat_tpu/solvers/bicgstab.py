@@ -130,15 +130,25 @@ class _PState(NamedTuple):
     hist: jax.Array
 
 
-def precond_core(matvec, msolve, dot, x0, b, tol, maxit, debug=False):
+def precond_core(matvec, msolve, dot, x0, b, tol, maxit, debug=False,
+                 matvec_dots=None, scalar_reduce=None):
     """Preconditioned BiCGSTAB loop (reference gpu_pbicgstab,
     pbicgstab.cu:45-154): two M-solve + SpMV half-steps per iteration with a
     convergence check after each; the first check exits *without* bumping the
     iteration counter (reference :116), the second bumps it (:147-150).
 
-    Generic over ``matvec``/``msolve``/``dot`` (see :func:`hform_core`)."""
+    Generic over ``matvec``/``msolve``/``dot`` (see :func:`hform_core`).
+
+    ``matvec_dots(x, ws, with_self=False) -> (y, parts)``: optional fused
+    SpMV + dot-partials (e.g.
+    :meth:`~cuda_mat_tpu.ops.pallas_stencil.ConstStencilOperator.matvec_dots`)
+    — the alpha/omega reductions then re-read nothing (reference dot sites
+    pbicgstab.cu:106,135-136 fused into the :104,:132 SpMVs).
+    ``scalar_reduce`` finishes each partial (identity single-chip; ``psum``
+    under ``shard_map``)."""
     dt = b.dtype
     one = jnp.asarray(1.0, dt)
+    sred = scalar_reduce if scalar_reduce is not None else (lambda s: s)
     r = b - matvec(x0)
     rw = r
     nrmr0 = jnp.sqrt(dot(r, r))
@@ -158,8 +168,13 @@ def precond_core(matvec, msolve, dot, x0, b, tol, maxit, debug=False):
             lambda: st.p,
         )
         pw = msolve(p)
-        v = matvec(pw)
-        alpha = rho / dot(rw, v)
+        if matvec_dots is None:
+            v = matvec(pw)
+            den_a = dot(rw, v)
+        else:
+            v, parts = matvec_dots(pw, (rw,))
+            den_a = sred(parts[0])
+        alpha = rho / den_a
         r1 = st.r - alpha * v
         x1 = st.x + alpha * pw
         nrmr1 = jnp.sqrt(dot(r1, r1))
@@ -170,8 +185,14 @@ def precond_core(matvec, msolve, dot, x0, b, tol, maxit, debug=False):
 
         def second_half(_):
             s = msolve(r1)
-            t = matvec(s)
-            omega = dot(t, r1) / dot(t, t)
+            if matvec_dots is None:
+                t = matvec(s)
+                num_o = dot(t, r1)
+                den_o = dot(t, t)
+            else:
+                t, parts = matvec_dots(s, (r1,), with_self=True)
+                num_o, den_o = sred(parts[0]), sred(parts[1])
+            omega = num_o / den_o
             x2 = x1 + omega * s
             r2 = r1 - omega * t
             nrmr2 = jnp.sqrt(dot(r2, r2))
@@ -202,10 +223,11 @@ def precond_core(matvec, msolve, dot, x0, b, tol, maxit, debug=False):
     return st.x, st.status, st.i, st.nrmr, nrmr0, st.hist
 
 
-@partial(jax.jit, static_argnames=("maxit", "debug"))
-def _precond_solve(op, pre, x0, b, tol, maxit, debug=False):
+@partial(jax.jit, static_argnames=("maxit", "debug", "fused_dots"))
+def _precond_solve(op, pre, x0, b, tol, maxit, debug=False, fused_dots=True):
+    mvd = getattr(op, "matvec_dots", None) if fused_dots else None
     return precond_core(op.matvec, pre.msolve, jnp.dot, x0, b, tol, maxit,
-                        debug)
+                        debug, matvec_dots=mvd)
 
 
 # ---------------------------------------------------------------------------
@@ -568,7 +590,8 @@ def solve(a, b, config: SolverConfig = DEFAULT_CONFIG,
     jax.block_until_ready((op, pre, bd, x0d))
     t1 = time.perf_counter()
     out = _precond_solve(op, pre, x0d, bd, jnp.asarray(config.tol, dt),
-                         config.maxit, effective_debug(config.debug))
+                         config.maxit, effective_debug(config.debug),
+                         fused_dots=config.fused_dots)
     out = jax.block_until_ready(out)
     _force_completion(out)
     t2 = time.perf_counter()

@@ -197,3 +197,42 @@ def test_format_stencil_rejects_nonstencil():
     a, b = random_diag_nonzero_system(50, prob_of_zero=0.9)
     with pytest.raises(ValueError):
         solve(a, b, SolverConfig(precond="none"), format="stencil")
+
+
+def test_matvec_dots_matches_separate(rng):
+    """The fused dot-epilogue kernel returns the same y as matvec and dots
+    equal to jnp.dot within reduction-order tolerance (lane partials)."""
+    import jax.numpy as jnp
+
+    from cuda_mat_tpu.models.problems import grid_laplacian
+    from cuda_mat_tpu.ops.pallas_stencil import ConstStencilOperator
+
+    a = grid_laplacian(40, 12)
+    op = ConstStencilOperator.from_dia(a.to_dia(max_diags=16),
+                                       dtype=jnp.float64, interpret=True)
+    x = op.pad_vec(rng.standard_normal(a.n))
+    w = op.pad_vec(rng.standard_normal(a.n))
+    y_ref = op.matvec(x)
+    y, dots = op.matvec_dots(x, (w,), with_self=True)
+    assert np.array_equal(np.asarray(y), np.asarray(y_ref))
+    np.testing.assert_allclose(
+        np.asarray(dots),
+        [float(jnp.dot(w, y_ref)), float(jnp.dot(y_ref, y_ref))],
+        rtol=1e-12)
+
+
+def test_fused_dots_solve_matches_plain(rng):
+    """solve(fused_dots=True) (EXPERIMENTAL, off by default) tracks the
+    plain-dot trajectory on the stencil path."""
+    from cuda_mat_tpu.config import SolverConfig
+    from cuda_mat_tpu.solvers.bicgstab import solve
+
+    a = banded_laplacian(30)
+    b = rng.uniform(1.0, 5.0, a.n)
+    cfg = SolverConfig(maxit=2000, tol=1e-8, dtype="float64",
+                       precond="ilu0_neumann", neumann_terms=3)
+    r_f = solve(a, b, cfg.replace(fused_dots=True), format="stencil")
+    r_p = solve(a, b, cfg, format="stencil")
+    assert r_f.status.name == "CONVERGED"
+    assert abs(r_f.iters - r_p.iters) <= max(2, 0.15 * r_p.iters)
+    np.testing.assert_allclose(r_f.x, r_p.x, rtol=1e-8, atol=1e-10)
