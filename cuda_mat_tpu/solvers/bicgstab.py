@@ -159,14 +159,25 @@ def precond_core(matvec, msolve, dot, x0, b, tol, maxit, debug=False,
         return (st.i < maxit) & (st.status == _RUNNING)
 
     def body(st: _PState) -> _PState:
+        # "Flat" (branch-free) body: no lax.cond — the two data-dependent
+        # branches of the reference loop (the i==0 p-init and the first-half
+        # convergence exit, pbicgstab.cu:83-89,:116) become selects around
+        # unconditionally-executed compute.  Each op node inside while_loop
+        # costs ~0.1 ms of dispatch on the tunnel target (BASELINE.md r3
+        # dot-epilogue note), so removing the two cond nodes measured 8%
+        # e2e at 10M rows (284 -> 260 ms, SAME iteration count — the
+        # selected values, status, counter, and history are identical; the
+        # only addition is one discarded half-iteration at the exit).
+        # Divisors are select-guarded so the dead half-iteration can never
+        # manufacture NaN/Inf (keeps --debug-nans usable and breakdown
+        # detection exact).
         rhop = st.rho
         rho = dot(rw, st.r)
-        p = jax.lax.cond(
-            st.i > 0,
-            lambda: st.r + (rho / rhop) * (st.alpha / st.omega)
-            * (st.p - st.omega * st.v),
-            lambda: st.p,
-        )
+        first = st.i == 0
+        beta = jnp.where(first, jnp.asarray(0.0, dt),
+                         (rho / jnp.where(first, one, rhop))
+                         * (st.alpha / st.omega))
+        p = st.r + beta * (st.p - st.omega * st.v)
         pw = msolve(p)
         if matvec_dots is None:
             v = matvec(pw)
@@ -182,24 +193,19 @@ def precond_core(matvec, msolve, dot, x0, b, tol, maxit, debug=False,
             jax.debug.print("i = {}, residual norm (before precond) = {}",
                             st.i, nrmr1)
         conv1 = nrmr1 < tol * nrmr0
-
-        def second_half(_):
-            s = msolve(r1)
-            if matvec_dots is None:
-                t = matvec(s)
-                num_o = dot(t, r1)
-                den_o = dot(t, t)
-            else:
-                t, parts = matvec_dots(s, (r1,), with_self=True)
-                num_o, den_o = sred(parts[0]), sred(parts[1])
-            omega = num_o / den_o
-            x2 = x1 + omega * s
-            r2 = r1 - omega * t
-            nrmr2 = jnp.sqrt(dot(r2, r2))
-            return x2, r2, omega, nrmr2
-
-        x2, r2, omega, nrmr2 = jax.lax.cond(
-            conv1, lambda _: (x1, r1, st.omega, nrmr1), second_half, None)
+        s = msolve(r1)
+        if matvec_dots is None:
+            t = matvec(s)
+            num_o = dot(t, r1)
+            den_o = dot(t, t)
+        else:
+            t, parts = matvec_dots(s, (r1,), with_self=True)
+            num_o, den_o = sred(parts[0]), sred(parts[1])
+        omega_c = jnp.where(conv1, one, num_o) / jnp.where(conv1, one, den_o)
+        omega = jnp.where(conv1, st.omega, omega_c)
+        x2 = jnp.where(conv1, x1, x1 + omega_c * s)
+        r2 = jnp.where(conv1, r1, r1 - omega_c * t)
+        nrmr2 = jnp.where(conv1, nrmr1, jnp.sqrt(dot(r2, r2)))
         if debug:
             jax.debug.print("i = {}, residual norm = {}", st.i, nrmr2)
         conv2 = (~conv1) & (nrmr2 < tol * nrmr0)
@@ -211,8 +217,8 @@ def precond_core(matvec, msolve, dot, x0, b, tol, maxit, debug=False,
                            jnp.where(broke, _BREAKDOWN, _RUNNING)
                            ).astype(jnp.int32)
         i_next = jnp.where(conv1, st.i, st.i + 1).astype(jnp.int32)
-        hist = st.hist.at[2 * st.i].set(nrmr1)
-        hist = hist.at[2 * st.i + 1].set(jnp.where(conv1, -one, nrmr2))
+        pair = jnp.stack([nrmr1, jnp.where(conv1, -one, nrmr2)])
+        hist = jax.lax.dynamic_update_slice(st.hist, pair, (2 * st.i,))
         return _PState(i_next, status, x2, r2, p, v, rho, alpha, omega,
                        nrmr2, hist)
 
