@@ -185,8 +185,8 @@ def main():
             info["solve_1m_error"] = repr(e)[:200]
 
         # ---- 10M-row flagship solve: stencil matvec + one-launch fused
-        # Neumann msolve + in-kernel dot epilogues (the headline e2e number;
-        # BASELINE.md r3 tracks it across rounds: r2 650 ms -> r3 284 ms)
+        # Neumann msolve (k=4) + branch-free loop body (the headline e2e
+        # number; BASELINE.md r3 tracks it: r2 650 ms -> r3 260-266 ms)
         try:
             a10 = grid_laplacian(100000, 100)
             b10 = np.ones(a10.n)

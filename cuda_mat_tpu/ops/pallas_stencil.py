@@ -965,7 +965,7 @@ def plan_const_neumann_layout(terms, k: int, c_grid: int, stride: int,
     soffs_u = [((t[0] - t[1]) // c_grid) * stride + t[1] for t in pu]
     min_sub = max(abs(o) for o in soffs_l + soffs_u)
     if fuse_kernel:
-        hpad = _round_up(max(max(abs(o) for o in soffs_u), 1), 1024)
+        hpad = msolve_halo(tuple((o, 1.0) for o in soffs_u))
         min_sub = max(min_sub, max(abs(o) for o in soffs_l) + hpad)
         # the fused kernel holds P_l windows over (block + 2 hpad) plus P_u
         # windows, x/d streams, u scratch and the extended mask — model it

@@ -188,12 +188,12 @@ class NeumannILUPreconditioner:
                 # ``prefer_mono``: additionally approximate D⁻¹ by its
                 # interior constant and compose the whole M⁻¹ ≈ P_u·d*·P_l
                 # into ONE polynomial stencil — msolve = one matrix-free
-                # launch, ONE halo-exchange round when distributed.
-                # Single-chip measurement (10M rows): the ~19-term mono
-                # kernel is marginally compute-bound and its VMEM block cap
-                # slows A's matvec too — "series" (2 launches, exact D) wins
-                # there, so it is the single-chip default; the distributed
-                # engine prefers mono for the halved collectives.
+                # launch.  Largely superseded by the one-launch "kernel"
+                # mode below, which matches mono's launch/collective count
+                # while keeping the exact diagonal (BASELINE.md r3
+                # "strictly dominates"); mono remains as an explicit
+                # request and as the distributed fallback when the kernel's
+                # wider halo does not fit the layout.
                 if prefer_mono:
                     import dataclasses as _dc
 

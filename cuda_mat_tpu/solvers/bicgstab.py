@@ -131,7 +131,7 @@ class _PState(NamedTuple):
 
 
 def precond_core(matvec, msolve, dot, x0, b, tol, maxit, debug=False,
-                 matvec_dots=None, scalar_reduce=None):
+                 matvec_dots=None):
     """Preconditioned BiCGSTAB loop (reference gpu_pbicgstab,
     pbicgstab.cu:45-154): two M-solve + SpMV half-steps per iteration with a
     convergence check after each; the first check exits *without* bumping the
@@ -143,12 +143,9 @@ def precond_core(matvec, msolve, dot, x0, b, tol, maxit, debug=False,
     SpMV + dot-partials (e.g.
     :meth:`~cuda_mat_tpu.ops.pallas_stencil.ConstStencilOperator.matvec_dots`)
     — the alpha/omega reductions then re-read nothing (reference dot sites
-    pbicgstab.cu:106,135-136 fused into the :104,:132 SpMVs).
-    ``scalar_reduce`` finishes each partial (identity single-chip; ``psum``
-    under ``shard_map``)."""
+    pbicgstab.cu:106,135-136 fused into the :104,:132 SpMVs)."""
     dt = b.dtype
     one = jnp.asarray(1.0, dt)
-    sred = scalar_reduce if scalar_reduce is not None else (lambda s: s)
     r = b - matvec(x0)
     rw = r
     nrmr0 = jnp.sqrt(dot(r, r))
@@ -184,7 +181,7 @@ def precond_core(matvec, msolve, dot, x0, b, tol, maxit, debug=False,
             den_a = dot(rw, v)
         else:
             v, parts = matvec_dots(pw, (rw,))
-            den_a = sred(parts[0])
+            den_a = parts[0]
         alpha = rho / den_a
         r1 = st.r - alpha * v
         x1 = st.x + alpha * pw
@@ -200,7 +197,7 @@ def precond_core(matvec, msolve, dot, x0, b, tol, maxit, debug=False,
             den_o = dot(t, t)
         else:
             t, parts = matvec_dots(s, (r1,), with_self=True)
-            num_o, den_o = sred(parts[0]), sred(parts[1])
+            num_o, den_o = parts[0], parts[1]
         omega_c = jnp.where(conv1, one, num_o) / jnp.where(conv1, one, den_o)
         omega = jnp.where(conv1, st.omega, omega_c)
         x2 = jnp.where(conv1, x1, x1 + omega_c * s)
@@ -230,7 +227,7 @@ def precond_core(matvec, msolve, dot, x0, b, tol, maxit, debug=False,
 
 
 @partial(jax.jit, static_argnames=("maxit", "debug", "fused_dots"))
-def _precond_solve(op, pre, x0, b, tol, maxit, debug=False, fused_dots=True):
+def _precond_solve(op, pre, x0, b, tol, maxit, debug=False, fused_dots=False):
     mvd = getattr(op, "matvec_dots", None) if fused_dots else None
     return precond_core(op.matvec, pre.msolve, jnp.dot, x0, b, tol, maxit,
                         debug, matvec_dots=mvd)
