@@ -12,6 +12,14 @@ The whole solver loop runs inside one ``shard_map`` region under ``jit``:
 - The scalar recurrences and convergence branches are the *same code* as the
   single-chip path (:func:`cuda_mat_tpu.solvers.bicgstab.hform_core` /
   :func:`precond_core`), closed over the distributed matvec/dot.
+- **Carry layout** (Pallas engines): the loop vectors live per shard in the
+  kernel-padded form ``[zero block | shard_rows | zero block]`` across the
+  *whole* while_loop — the same zero-pad fixed-point protocol the single-chip
+  operators use — so matvec/msolve applications launch straight on the carry
+  instead of rebuilding a padded input with zeros + dynamic_update_slice +
+  dynamic_slice each call (~3 dispatch nodes × 4 applications/iteration ≈ the
+  entire 2x per-iteration overhead the r3 engine paid at mesh(1);
+  VERDICT r3 #1).  See :func:`_to_carry`.
 """
 
 from __future__ import annotations
@@ -101,24 +109,48 @@ def _pallas_blocks(w: int, interpret: bool) -> Tuple[int, int]:
     return block, sub
 
 
+def _to_carry(vpad: np.ndarray, ndev: int, shard_rows: int, block: int,
+              fill: float = 0.0) -> np.ndarray:
+    """Interleave a (ndev*shard_rows,) partition-padded host vector into the
+    per-shard *carry* layout (ndev*(shard_rows + 2*block),): each shard's
+    slice is ``[pad block | local rows | pad block]`` with ``fill`` in the
+    pad blocks (0 for loop vectors — a fixed point of the kernels and of
+    every BLAS1 op — and 1 for inverse-diagonal streams so ``inv_d * 0``
+    stays an exact zero)."""
+    m = np.asarray(vpad).reshape(ndev, shard_rows)
+    return np.pad(m, ((0, 0), (block, block)),
+                  constant_values=fill).reshape(-1)
+
+
+def _from_carry(vc: np.ndarray, ndev: int, shard_rows: int, block: int
+                ) -> np.ndarray:
+    """Inverse of :func:`_to_carry` (drop the per-shard pad blocks)."""
+    m = np.asarray(vc).reshape(ndev, shard_rows + 2 * block)
+    return np.ascontiguousarray(
+        m[:, block: block + shard_rows]).reshape(-1)
+
+
 def _make_local_matvec_pallas(offsets, halo, shard_rows, ndev, axis,
                               block, sub, interpret, overlap: bool = True):
     """Per-shard banded matvec with the block-halo Pallas kernel
     (:func:`cuda_mat_tpu.ops.pallas_spmv.dia_spmv_block_padded` — the ROADMAP
-    'per-shard Pallas SpMV inside shard_map' item).
+    'per-shard Pallas SpMV inside shard_map' item), operating on the
+    *carry layout*: in and out are (shard_rows + 2*block,) vectors whose
+    zero pad blocks persist across the whole solver loop (:func:`_to_carry`,
+    VERDICT r3 #1), so an application adds no relayout nodes.
 
     ``overlap=True`` (default, needs shard_rows >= 2*halo): the kernel is
-    launched on *local-only* x (zero pad blocks), so it does not depend on
-    the ppermutes and XLA's latency-hiding scheduler can fly the halo
-    exchange over ICI during the kernel; the 2w boundary rows — the only
-    rows that read halo values — are then recomputed in XLA from the halos
-    plus a 2w-deep local edge and overwrite the kernel's edge rows.  The
-    per-row multiply-add sequence is identical (same offsets order), so the
-    result matches the unsplit form bitwise (mirrors the XLA engine's
+    launched on the local-only carry (zero pad blocks), so it does not
+    depend on the ppermutes and XLA's latency-hiding scheduler can fly the
+    halo exchange over ICI during the kernel; the 2w boundary rows — the
+    only rows that read halo values — are then recomputed in XLA from the
+    halos plus a 2w-deep local edge and overwrite the kernel's edge rows.
+    The per-row multiply-add sequence is identical (same offsets order), so
+    the result matches the unsplit form bitwise (mirrors the XLA engine's
     interior/boundary split, SURVEY §2 'overlapped with local-block SpMV';
     VERDICT r2 next-round #2).
 
-    ``overlap=False`` scatters the halos into the kernel's pad blocks before
+    ``overlap=False`` scatters the halos into the carry's pad blocks before
     the launch (the r2 serializing form, kept for the bitwise test)."""
     from cuda_mat_tpu.ops.pallas_spmv import dia_spmv_block_padded
 
@@ -138,29 +170,30 @@ def _make_local_matvec_pallas(offsets, halo, shard_rows, ndev, axis,
                 xe, (w + off,), (w,))
         return acc
 
-    def matvec(data_local, xl):
+    def matvec(data_local, xc):
         if w > 0 and ndev > 1:
-            left_halo = jax.lax.ppermute(xl[-w:], axis, send_right)
-            right_halo = jax.lax.ppermute(xl[:w], axis, send_left)
-        x_pad = jnp.zeros(s + 2 * block, xl.dtype)
-        x_pad = jax.lax.dynamic_update_slice(x_pad, xl, (block,))
+            left_halo = jax.lax.ppermute(
+                jax.lax.slice(xc, (block + s - w,), (block + s,)),
+                axis, send_right)
+            right_halo = jax.lax.ppermute(
+                jax.lax.slice(xc, (block,), (block + w,)), axis, send_left)
+        x_in = xc
         if not split and w > 0 and ndev > 1:
-            x_pad = jax.lax.dynamic_update_slice(x_pad, left_halo,
-                                                 (block - w,))
-            x_pad = jax.lax.dynamic_update_slice(x_pad, right_halo,
-                                                 (block + s,))
-        y_pad = dia_spmv_block_padded(data_local, x_pad, tuple(offsets),
-                                      block, sub, interpret)
-        y = jax.lax.dynamic_slice(y_pad, (block,), (s,))
+            x_in = jax.lax.dynamic_update_slice(x_in, left_halo, (block - w,))
+            x_in = jax.lax.dynamic_update_slice(x_in, right_halo,
+                                                (block + s,))
+        y = dia_spmv_block_padded(data_local, x_in, tuple(offsets),
+                                  block, sub, interpret)
         if split:
             # rows [0, w) read x rows [-w, 2w); rows [s-w, s) read [s-2w, s+w)
-            y_l = _edge_rows(data_local,
-                             jnp.concatenate([left_halo, xl[: 2 * w]]), 0)
-            y_r = _edge_rows(data_local,
-                             jnp.concatenate([xl[s - 2 * w:], right_halo]),
-                             s - w)
-            y = jax.lax.dynamic_update_slice(y, y_l, (0,))
-            y = jax.lax.dynamic_update_slice(y, y_r, (s - w,))
+            y_l = _edge_rows(data_local, jnp.concatenate(
+                [left_halo, jax.lax.slice(xc, (block,), (block + 2 * w,))]),
+                0)
+            y_r = _edge_rows(data_local, jnp.concatenate(
+                [jax.lax.slice(xc, (block + s - 2 * w,), (block + s,)),
+                 right_halo]), s - w)
+            y = jax.lax.dynamic_update_slice(y, y_l, (block,))
+            y = jax.lax.dynamic_update_slice(y, y_r, (block + s - w,))
         return y
 
     return matvec
@@ -180,12 +213,17 @@ def _make_local_matvec_stencil(part, axis, interpret, overlap: bool = True,
     program and the strided tail [np_true, npad) stays an exact zero fixed
     point.
 
+    Operates on the *carry layout* — (shard_rows + 2*block,) vectors with
+    persistent zero pad blocks (:func:`_to_carry`, VERDICT r3 #1) — so an
+    application is one kernel launch with no relayout nodes.
+
     ``overlap=True`` (default, needs shard_rows >= 2*halo): the kernel
-    launches on local-only x (zero pad blocks) so the two halo ppermutes fly
-    over ICI during the kernel; the w boundary rows at each end — the only
-    rows that read halo values — are recomputed in XLA afterwards with the
-    same multiply-add order, so the result matches the unsplit (scatter)
-    form bitwise.  Replaces reference pbicgstab.cu:104,132."""
+    launches on the local-only carry (zero pad blocks) so the two halo
+    ppermutes fly over ICI during the kernel; the w boundary rows at each
+    end — the only rows that read halo values — are recomputed in XLA
+    afterwards with the same multiply-add order, so the result matches the
+    unsplit (scatter) form bitwise.  Replaces reference pbicgstab.cu:104,132.
+    """
     from cuda_mat_tpu.ops.pallas_stencil import const_stencil_spmv_padded
 
     # custom ``sterms``/``halo`` let factor operators (e.g. the fused
@@ -213,36 +251,39 @@ def _make_local_matvec_stencil(part, axis, interpret, overlap: bool = True,
         t = row0_global + jax.lax.iota(jnp.int32, w)
         return jnp.where(t < jnp.int32(np_true), acc, jnp.zeros_like(acc))
 
-    def matvec(gapmask, xl):
+    def matvec(gapmask, xc):
         base = (jax.lax.axis_index(axis) * s).astype(jnp.int32)
         if w > 0 and ndev > 1:
-            left_halo = jax.lax.ppermute(xl[-w:], axis, send_right)
-            right_halo = jax.lax.ppermute(xl[:w], axis, send_left)
-        x_pad = jnp.zeros(s + 2 * block, xl.dtype)
-        x_pad = jax.lax.dynamic_update_slice(x_pad, xl, (block,))
+            left_halo = jax.lax.ppermute(
+                jax.lax.slice(xc, (block + s - w,), (block + s,)),
+                axis, send_right)
+            right_halo = jax.lax.ppermute(
+                jax.lax.slice(xc, (block,), (block + w,)), axis, send_left)
+        x_in = xc
         if not split and w > 0 and ndev > 1:
-            x_pad = jax.lax.dynamic_update_slice(x_pad, left_halo,
-                                                 (block - w,))
-            x_pad = jax.lax.dynamic_update_slice(x_pad, right_halo,
-                                                 (block + s,))
-        y_pad = const_stencil_spmv_padded(x_pad, gapmask, sterms, np_true,
-                                          block, sub, interpret,
-                                          base=base.reshape(1))
-        y = jax.lax.dynamic_slice(y_pad, (block,), (s,))
+            x_in = jax.lax.dynamic_update_slice(x_in, left_halo, (block - w,))
+            x_in = jax.lax.dynamic_update_slice(x_in, right_halo,
+                                                (block + s,))
+        y = const_stencil_spmv_padded(x_in, gapmask, sterms, np_true,
+                                      block, sub, interpret,
+                                      base=base.reshape(1))
         if split:
             # rows [0, w) read x rows [-w, 2w); rows [s-w, s) read [s-2w, s+w)
-            y_l = _edge_rows(jnp.concatenate([left_halo, xl[: 2 * w]]),
-                             gapmask[:w], base)
-            y_r = _edge_rows(jnp.concatenate([xl[s - 2 * w:], right_halo]),
-                             gapmask[block - w:], base + (s - w))
-            y = jax.lax.dynamic_update_slice(y, y_l, (0,))
-            y = jax.lax.dynamic_update_slice(y, y_r, (s - w,))
+            y_l = _edge_rows(jnp.concatenate(
+                [left_halo, jax.lax.slice(xc, (block,), (block + 2 * w,))]),
+                gapmask[:w], base)
+            y_r = _edge_rows(jnp.concatenate(
+                [jax.lax.slice(xc, (block + s - 2 * w,), (block + s,)),
+                 right_halo]), gapmask[block - w:], base + (s - w))
+            y = jax.lax.dynamic_update_slice(y, y_l, (block,))
+            y = jax.lax.dynamic_update_slice(y, y_r, (block + s - w,))
         return y
 
     return matvec
 
 
-def _make_local_msolve_kernel(part, axis, interpret, terms_l, terms_u):
+def _make_local_msolve_kernel(part, axis, interpret, terms_l, terms_u,
+                              overlap: bool = True):
     """Per-shard ONE-launch fused Neumann msolve
     (:func:`cuda_mat_tpu.ops.pallas_stencil.const_series_msolve_padded`):
     ``y = P_u (inv_d ∘ P_l x)`` with the intermediate held in VMEM scratch —
@@ -250,35 +291,117 @@ def _make_local_msolve_kernel(part, axis, interpret, terms_l, terms_u):
     diagonal (like "series").  ``terms_l``/``terms_u``: strided (off, scal)
     polynomials.  The inv_d stream with neighbor halos is static setup data
     (see the d_pad construction in :func:`dist_bicgstab`), so no second
-    exchange is needed.  Replaces the reference msolve role
-    pbicgstab.cu:92-98 shard-parallel."""
+    exchange is needed.  Operates on the carry layout (:func:`_to_carry`).
+    Replaces the reference msolve role pbicgstab.cu:92-98 shard-parallel.
+
+    ``overlap=True`` (default): the kernel launches on the local-only carry
+    (zero pad blocks), taking its ppermute pair OFF the msolve critical path
+    (VERDICT r3 #2 — the r3 form serialized two ICI round-trips per
+    iteration); the boundary rows that read halo x are recomputed in XLA
+    through the same two-stage composition — ``u = (P_l x · gap) · inv_d``
+    over an extended edge window, masked to the global true rows, then
+    ``y = (P_u u) · gap`` with the tail mask — reproducing the kernel's
+    per-row multiply-add sequence.  Unlike the matvec splits (whose ±1/2^k
+    stencil scalars make every multiply exact, hence FMA-insensitive), the
+    series coefficients are general floats, so the compiler's
+    fused-multiply-add contraction choice can differ between the two
+    programs: the recomputed boundary rows match the scatter form to <= 1
+    ulp, not bitwise (measured: interior rows bitwise-equal — the indexing
+    proof — boundary diffs 1 ulp on ~10% of rows; see the CPU-mesh test).
+    ``overlap=False`` scatters both halos into the pad blocks before the
+    launch (kept for that test)."""
     from cuda_mat_tpu.ops.pallas_stencil import (const_series_msolve_padded,
                                                  msolve_halo)
 
     hpad = msolve_halo(terms_u)
-    h_l = max(abs(t[0]) for t in terms_l)
-    w = h_l + hpad
+    lo_l = min(o for o, _ in terms_l)
+    hi_l = max(o for o, _ in terms_l)
+    lo_u = min(o for o, _ in terms_u)
+    hi_u = max(o for o, _ in terms_u)
+    h_l = max(abs(lo_l), abs(hi_l))
+    w = h_l + hpad                       # scatter-form halo width
     s, block, sub = part.shard_rows, part.block, part.sub
     np_true, ndev = part.np_true, part.ndev
+    stride = part.stride
     assert w <= sub and w <= s and hpad <= block
     send_right = [(i, i + 1) for i in range(ndev - 1)]
     send_left = [(i + 1, i) for i in range(ndev - 1)]
+    # composition reach: y row j reads x rows [j+lo_u+lo_l, j+hi_u+hi_l], so
+    # only rows [0, wl) and [s-wr, s) depend on halo x (for the interior, the
+    # kernel's u values on those rows come from local x in both forms)
+    wl = max(0, -(lo_u + lo_l))
+    wr = max(0, hi_u + hi_l)
+    wb = max(wl, wr, 1)                  # exchanged halo width (split form)
+    split = (overlap and ndev > 1 and (wl or wr)
+             and s >= 2 * (wl + wr) and wb <= s)
+    gm = np.asarray(part.gapmask[:stride], np.float64)
 
-    def msolve(gap_ext, d_pad, xl):
+    def _gap(idx0, nrows, dtype):
+        # gapmask value at local row t is gm[t % stride] (shard bases and
+        # shard_rows are stride multiples, so this is shard-independent and
+        # a compile-time constant)
+        return jnp.asarray(gm[np.arange(idx0, idx0 + nrows) % stride], dtype)
+
+    def _edge_y(xe, d_pad, base, j0, nrows):
+        # y rows [j0, j0+nrows) via the kernel's exact two-stage op order:
+        # u = (Σ scal_l·x_win) * gap * d, masked to global [0, np_true);
+        # y = (Σ scal_u·u_win) * gap, tail-masked (_const_msolve_kernel)
+        dt = xe.dtype
+        u0, u1 = lo_u, nrows + hi_u      # u rows [j0+u0, j0+u1)
+        nu = u1 - u0                     # xe[0] is x row j0 + u0 + lo_l
+        acc = None
+        for (off, scal) in terms_l:
+            win = jax.lax.slice(xe, (off - lo_l,), (off - lo_l + nu,))
+            t = jnp.asarray(scal, dt) * win
+            acc = t if acc is None else acc + t
+        d_w = jax.lax.slice(d_pad, (block + j0 + u0,), (block + j0 + u1,))
+        u = acc * _gap(j0 + u0, nu, dt) * d_w
+        tu = base + j0 + u0 + jax.lax.iota(jnp.int32, nu)
+        u = jnp.where((tu >= 0) & (tu < jnp.int32(np_true)), u,
+                      jnp.zeros_like(u))
+        acc2 = None
+        for (off, scal) in terms_u:
+            win = jax.lax.slice(u, (off - u0,), (off - u0 + nrows,))
+            t = jnp.asarray(scal, dt) * win
+            acc2 = t if acc2 is None else acc2 + t
+        y = acc2 * _gap(j0, nrows, dt)
+        ty = base + j0 + jax.lax.iota(jnp.int32, nrows)
+        return jnp.where(ty < jnp.int32(np_true), y, jnp.zeros_like(y))
+
+    def msolve(gap_ext, d_pad, xc):
         base = (jax.lax.axis_index(axis) * s).astype(jnp.int32)
-        x_pad = jnp.zeros(s + 2 * block, xl.dtype)
-        x_pad = jax.lax.dynamic_update_slice(x_pad, xl, (block,))
+        x_in = xc
         if ndev > 1:
-            left_halo = jax.lax.ppermute(xl[-w:], axis, send_right)
-            right_halo = jax.lax.ppermute(xl[:w], axis, send_left)
-            x_pad = jax.lax.dynamic_update_slice(x_pad, left_halo,
-                                                 (block - w,))
-            x_pad = jax.lax.dynamic_update_slice(x_pad, right_halo,
-                                                 (block + s,))
-        y_pad = const_series_msolve_padded(x_pad, d_pad, gap_ext, terms_l,
-                                           terms_u, np_true, block, sub,
-                                           interpret, base=base.reshape(1))
-        return jax.lax.dynamic_slice(y_pad, (block,), (s,))
+            hw = wb if split else w
+            left_halo = jax.lax.ppermute(
+                jax.lax.slice(xc, (block + s - hw,), (block + s,)),
+                axis, send_right)
+            right_halo = jax.lax.ppermute(
+                jax.lax.slice(xc, (block,), (block + hw,)), axis, send_left)
+            if not split:
+                x_in = jax.lax.dynamic_update_slice(x_in, left_halo,
+                                                    (block - w,))
+                x_in = jax.lax.dynamic_update_slice(x_in, right_halo,
+                                                    (block + s,))
+        y = const_series_msolve_padded(x_in, d_pad, gap_ext, terms_l,
+                                       terms_u, np_true, block, sub,
+                                       interpret, base=base.reshape(1))
+        if split:
+            if wl:
+                # x rows [-wl, wl + wr): wl from the left halo + local edge
+                xe_l = jnp.concatenate([
+                    jax.lax.slice(left_halo, (wb - wl,), (wb,)),
+                    jax.lax.slice(xc, (block,), (block + wl + wr,))])
+                y_l = _edge_y(xe_l, d_pad, base, 0, wl)
+                y = jax.lax.dynamic_update_slice(y, y_l, (block,))
+            if wr:
+                # x rows [s - wr - wl, s + wr): local edge + wr of the halo
+                xe_r = jnp.concatenate([
+                    jax.lax.slice(xc, (block + s - wr - wl,), (block + s,)),
+                    jax.lax.slice(right_halo, (0,), (wr,))])
+                y_r = _edge_y(xe_r, d_pad, base, s - wr, wr)
+                y = jax.lax.dynamic_update_slice(y, y_r, (block + s - wr,))
+        return y
 
     return msolve
 
@@ -322,15 +445,19 @@ def make_dist_spmv(part: RowPartitionedBanded, mesh: Mesh, dtype=jnp.float32,
 
     Returns ``(fn, put)`` where ``put(v)`` shards a host vector and
     ``fn(x_sharded)`` computes the product (used by tests and the weak-scaling
-    bench)."""
+    bench).  For the Pallas engines both work in the carry layout
+    (:func:`_to_carry`); recover the true vector with
+    ``part.unpad_vector(_from_carry(...))`` (as :func:`dist_spmv` does)."""
     axis = mesh.axis_names[0]
     vec_sharding = NamedSharding(mesh, P(axis))
+    carry_block = 0
     if local_engine == "stencil":
         data = (put_global(np.asarray(part.gapmask, np.dtype(dtype)),
                            NamedSharding(mesh, P())),)
         data_specs = (P(),)
         mv_st = _make_local_matvec_stencil(part, axis, interpret)
         local_mv = lambda d, xl: mv_st(d[0], xl)  # noqa: E731
+        carry_block = part.block
     elif local_engine == "pallas":
         # per-diagonal 1-D streams: no sublane padding in the kernel's data
         # DMA (see PallasDIAOperator.data)
@@ -342,6 +469,7 @@ def make_dist_spmv(part: RowPartitionedBanded, mesh: Mesh, dtype=jnp.float32,
         local_mv = _make_local_matvec_pallas(part.offsets, part.halo,
                                              part.shard_rows, part.ndev, axis,
                                              blk, sub, interpret)
+        carry_block = blk
     else:
         data = (put_global(np.asarray(part.data, np.dtype(dtype)),
                            NamedSharding(mesh, P(None, axis))),)
@@ -360,8 +488,10 @@ def make_dist_spmv(part: RowPartitionedBanded, mesh: Mesh, dtype=jnp.float32,
         return local_mv(data_l, xl)
 
     def put(v: np.ndarray):
-        return put_global(np.asarray(part.pad_vector(np.asarray(v)),
-                                     np.dtype(dtype)), vec_sharding)
+        vp = np.asarray(part.pad_vector(np.asarray(v)), np.dtype(dtype))
+        if carry_block:
+            vp = _to_carry(vp, part.ndev, part.shard_rows, carry_block)
+        return put_global(vp, vec_sharding)
 
     return (lambda x: spmv(data, x)), put
 
@@ -375,15 +505,20 @@ def dist_spmv(a, x: np.ndarray, mesh: Mesh, dtype=jnp.float64,
 
         part = RowPartitionedStencil.from_matrix(a, mesh.devices.size)
         fn, put = make_dist_spmv(part, mesh, dtype, local_engine, interpret)
-        return part.unpad_vector(fetch_global(fn(put(x))))
+        y = _from_carry(fetch_global(fn(put(x))), part.ndev, part.shard_rows,
+                        part.block)
+        return part.unpad_vector(y)
     align = 1
+    carry_block = 0
     if local_engine == "pallas":
         dia = a.to_dia(max_diags=128) if hasattr(a, "to_dia") else a
-        align = _pallas_blocks(dia.bandwidth, interpret)[0]
+        align = carry_block = _pallas_blocks(dia.bandwidth, interpret)[0]
     part = RowPartitionedBanded.from_matrix(a, mesh.devices.size, align=align)
     fn, put = make_dist_spmv(part, mesh, dtype, local_engine, interpret)
-    y = fn(put(x))
-    return part.unpad_vector(fetch_global(y))
+    y = fetch_global(fn(put(x)))
+    if carry_block:
+        y = _from_carry(y, part.ndev, part.shard_rows, carry_block)
+    return part.unpad_vector(y)
 
 
 class DistBicgstabSolver:
@@ -397,7 +532,8 @@ class DistBicgstabSolver:
     setup/solve phase split (pbicgstab.cu:335-363 vs :366)."""
 
     def __init__(self, a, part, run, mat_args, inv_diag, tol, btol,
-                 tri_stacked, fac_args, vec_sharding, dt, config, dt_setup):
+                 tri_stacked, fac_args, vec_sharding, dt, config, dt_setup,
+                 carry_block: int = 0):
         self.a = a
         self.part = part
         self._run = run
@@ -411,16 +547,23 @@ class DistBicgstabSolver:
         self._dt = dt
         self._config = config
         self.dt_setup = dt_setup
+        # Pallas engines carry loop vectors in the per-shard kernel-padded
+        # layout (see _to_carry); 0 = plain partition-padded layout
+        self._carry_block = carry_block
+
+    def _put_vec(self, v: np.ndarray) -> jax.Array:
+        vp = np.asarray(self.part.pad_vector(np.asarray(v)), self._dt)
+        if self._carry_block:
+            vp = _to_carry(vp, self.part.ndev, self.part.shard_rows,
+                           self._carry_block)
+        return put_global(vp, self._vec_sharding)
 
     def solve(self, b: np.ndarray,
               x0: Optional[np.ndarray] = None) -> SolveResult:
-        part, dt = self.part, self._dt
-        bp = put_global(np.asarray(part.pad_vector(np.asarray(b)), dt),
-                        self._vec_sharding)
+        part = self.part
+        bp = self._put_vec(b)
         # reference x0 = ones (pbicgstab.cu:827-832)
-        x0h = part.pad_vector(np.ones(part.n) if x0 is None
-                              else np.asarray(x0))
-        x0p = put_global(np.asarray(x0h, dt), self._vec_sharding)
+        x0p = self._put_vec(np.ones(part.n) if x0 is None else x0)
         t1 = time.perf_counter()
         out = jax.block_until_ready(self._run(
             *self._mat_args, x0p, bp, self._inv_diag, self._tol, self._btol,
@@ -433,8 +576,12 @@ class DistBicgstabSolver:
         status = int(np.asarray(status).reshape(-1)[0])
         if status == 0:
             status = SolverStatus.MAXIT
+        xh = fetch_global(x)
+        if self._carry_block:
+            xh = _from_carry(xh, part.ndev, part.shard_rows,
+                             self._carry_block)
         res = SolveResult(
-            x=part.unpad_vector(fetch_global(x)),
+            x=part.unpad_vector(xh),
             status=SolverStatus(status),
             iters=int(np.asarray(iters).reshape(-1)[0]),
             residual=residual,
@@ -569,7 +716,22 @@ def make_dist_bicgstab(a, mesh: Mesh,
         part = RowPartitionedELL.from_matrix(a, ndev)
         banded = False
 
+    # Pallas engines carry the loop vectors in the per-shard kernel-padded
+    # layout across the whole while_loop (VERDICT r3 #1; see _to_carry)
+    carry_block = 0
+    if banded and local_engine in ("pallas", "stencil"):
+        carry_block = part.block if stencil else blk
     vec_sharding = NamedSharding(mesh, P(axis))
+
+    def put_diagvec(v):
+        """Shard a partition-padded diagonal stream, fill 1.0 in the carry
+        pad blocks (the loop vectors there are exact zeros, so inv_d * 0
+        stays zero and padding remains a fixed point)."""
+        v = np.asarray(v, dt)
+        if carry_block:
+            v = _to_carry(v, ndev, part.shard_rows, carry_block, fill=1.0)
+        return put_global(v, vec_sharding)
+
     if banded:
         if stencil:
             mat_args = (put_global(np.asarray(part.gapmask, dt),
@@ -633,7 +795,7 @@ def make_dist_bicgstab(a, mesh: Mesh,
     if mode == "jacobi":
         if np.any(diag == 0):
             raise ValueError("Jacobi preconditioner requires a nonzero diagonal")
-        inv_diag = put_global(np.asarray(1.0 / diag, dt), vec_sharding)
+        inv_diag = put_diagvec(1.0 / diag)
     elif mode == "ilu0_neumann":
         if not banded:
             raise ValueError("ilu0_neumann requires a banded (DIA) partition;"
@@ -787,9 +949,9 @@ def make_dist_bicgstab(a, mesh: Mesh,
         else:
             invd = np.ones(part.npad)
             invd[: part.n] = 1.0 / diag_m
-        inv_diag = put_global(np.asarray(invd, dt), vec_sharding)
+        inv_diag = put_diagvec(invd)
     else:
-        inv_diag = put_global(np.ones(part.npad, dt), vec_sharding)
+        inv_diag = put_diagvec(np.ones(part.npad))
     if mode != "ilu0_neumann":
         fac_args = []
         fac_specs = []
@@ -839,7 +1001,18 @@ def make_dist_bicgstab(a, mesh: Mesh,
                                 tol_, maxit, debug)
         if mode == "bjacobi_ilu0":
             tri = local_solver_from_stacked(*tri_l, part.shard_rows, tb)
-            return precond_core(mv, tri.msolve, dot, x0_l, b_l, tol_, maxit,
+            msolve_b = tri.msolve
+            if carry_block:
+                s_ = part.shard_rows
+
+                def msolve_b(f, _m=tri.msolve):
+                    # the blocked trisolve works on the (s,) local region;
+                    # re-entering the carry costs one slice + one pad node
+                    # per msolve (vs 3 relayout nodes saved on every matvec)
+                    return jnp.pad(_m(jax.lax.slice(
+                        f, (carry_block,), (carry_block + s_,))),
+                        (carry_block, carry_block))
+            return precond_core(mv, msolve_b, dot, x0_l, b_l, tol_, maxit,
                                 debug)
         if mode == "ilu0_neumann":
             if fac_fused == "kernel":
@@ -891,4 +1064,5 @@ def make_dist_bicgstab(a, mesh: Mesh,
 
     return DistBicgstabSolver(a, part, run, mat_args, inv_diag, tol, btol,
                               tri_stacked, fac_args, vec_sharding, dt,
-                              config, time.perf_counter() - t0)
+                              config, time.perf_counter() - t0,
+                              carry_block=carry_block)

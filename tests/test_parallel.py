@@ -340,8 +340,9 @@ def test_pallas_overlap_split_matches_unsplit(lap, rng):
 
     from jax.sharding import PartitionSpec as P
 
-    from cuda_mat_tpu.parallel.dist_solver import (_make_local_matvec_pallas,
-                                                   _pallas_blocks)
+    from cuda_mat_tpu.parallel.dist_solver import (_from_carry,
+                                                   _make_local_matvec_pallas,
+                                                   _pallas_blocks, _to_carry)
 
     ndev = 4
     mesh = make_mesh(ndev)
@@ -351,8 +352,9 @@ def test_pallas_overlap_split_matches_unsplit(lap, rng):
     sh = jax.sharding.NamedSharding(mesh, P(axis))
     data = tuple(jax.device_put(jnp.asarray(part.data[k]), sh)
                  for k in range(len(part.offsets)))
-    x = jax.device_put(jnp.asarray(part.pad_vector(rng.standard_normal(lap.n))),
-                       sh)
+    xh = rng.standard_normal(lap.n)
+    x = jax.device_put(jnp.asarray(_to_carry(
+        part.pad_vector(xh), ndev, part.shard_rows, blk)), sh)
     out = []
     for overlap in (False, True):
         mv = _make_local_matvec_pallas(part.offsets, part.halo,
@@ -366,8 +368,8 @@ def test_pallas_overlap_split_matches_unsplit(lap, rng):
     np.testing.assert_array_equal(out[0], out[1])
     # and both match the host oracle
     np.testing.assert_allclose(
-        part.unpad_vector(out[1]),
-        lap.matvec(np.asarray(part.unpad_vector(x))), rtol=1e-12, atol=1e-12)
+        part.unpad_vector(_from_carry(out[1], ndev, part.shard_rows, blk)),
+        lap.matvec(xh), rtol=1e-12, atol=1e-12)
 
 
 # ---------------------------------------------------------------------------
@@ -533,7 +535,9 @@ def test_stencil_overlap_split_matches_unsplit(grid, rng):
 
     from jax.sharding import PartitionSpec as P
 
-    from cuda_mat_tpu.parallel.dist_solver import _make_local_matvec_stencil
+    from cuda_mat_tpu.parallel.dist_solver import (_from_carry,
+                                                   _make_local_matvec_stencil,
+                                                   _to_carry)
     from cuda_mat_tpu.parallel.partition import RowPartitionedStencil
 
     ndev = 4
@@ -543,8 +547,9 @@ def test_stencil_overlap_split_matches_unsplit(grid, rng):
     sh = jax.sharding.NamedSharding(mesh, P(axis))
     gap = jax.device_put(jnp.asarray(part.gapmask, jnp.float64),
                          jax.sharding.NamedSharding(mesh, P()))
-    x = jax.device_put(
-        jnp.asarray(part.pad_vector(rng.standard_normal(grid.n))), sh)
+    xh = rng.standard_normal(grid.n)
+    x = jax.device_put(jnp.asarray(_to_carry(
+        part.pad_vector(xh), ndev, part.shard_rows, part.block)), sh)
     out = []
     for overlap in (False, True):
         mv = _make_local_matvec_stencil(part, axis, interpret=True,
@@ -556,9 +561,94 @@ def test_stencil_overlap_split_matches_unsplit(grid, rng):
         out.append(np.asarray(f(gap, x)))
     np.testing.assert_array_equal(out[0], out[1])
     np.testing.assert_allclose(
-        part.unpad_vector(out[1]),
-        grid.matvec(np.asarray(part.unpad_vector(np.asarray(x)))),
-        rtol=1e-12, atol=1e-12)
+        part.unpad_vector(_from_carry(out[1], ndev, part.shard_rows,
+                                      part.block)),
+        grid.matvec(xh), rtol=1e-12, atol=1e-12)
+
+
+@needs_8
+def test_msolve_kernel_overlap_matches_scatter(grid, rng):
+    """The fused msolve kernel's overlap form (kernel on the local-only
+    carry + XLA two-stage boundary recompute) matches the scatter form
+    (halos written into the pad blocks before the launch) — VERDICT r3 #2:
+    takes the msolve's ppermute pair off the critical path.  Interior rows
+    must be BITWISE equal (proves the split's indexing); the recomputed
+    boundary rows are allowed <= 2 ulp: the series coefficients are general
+    floats, so XLA's FMA-contraction choice may differ between the two
+    programs (the matvec splits' ±1/2^k scalars are FMA-exact, hence their
+    stricter tests)."""
+    from functools import partial as _partial
+
+    from jax.sharding import PartitionSpec as P
+
+    from cuda_mat_tpu.ops.pallas_stencil import (
+        const_factor_terms, extend_gapmask, msolve_halo, neumann_poly_terms,
+        strided_offsets)
+    from cuda_mat_tpu.parallel.dist_solver import (_make_local_msolve_kernel,
+                                                   _to_carry)
+    from cuda_mat_tpu.parallel.partition import RowPartitionedStencil
+    from cuda_mat_tpu.precond.preconditioners import neumann_factors
+
+    from cuda_mat_tpu.ops.pallas_stencil import plan_const_neumann_layout
+
+    ndev = 4
+    mesh = make_mesh(ndev)
+    axis = mesh.axis_names[0]
+    part = RowPartitionedStencil.from_matrix(grid, ndev)
+    # widen the halo sub-block for the fused-kernel window (what
+    # make_dist_bicgstab does before selecting the kernel variant)
+    plan = plan_const_neumann_layout(part.terms, 3, part.c_grid, part.stride,
+                                     prefer_mono=True)
+    assert plan is not None
+    if plan[0] > part.sub or part.block > plan[1]:
+        part = RowPartitionedStencil.from_matrix(grid, ndev, min_sub=plan[0],
+                                                 block_target=plan[1])
+    low, up, diag_m = neumann_factors(grid)
+    sts = []
+    for f in (low, up):
+        t, _ = const_factor_terms(f.to_dia(max_diags=128), part.c_grid,
+                                  part.stride)
+        pt = neumann_poly_terms(t, 3, part.c_grid, part.stride)
+        sts.append(strided_offsets(pt, part.c_grid, part.stride))
+    hpad = msolve_halo(sts[1])
+    s, blk = part.shard_rows, part.block
+    assert hpad <= blk and max(abs(o) for o, _ in sts[0]) + hpad <= part.sub
+    sh = jax.sharding.NamedSharding(mesh, P(axis))
+    gap_ext = jax.device_put(
+        jnp.asarray(extend_gapmask(part.gapmask, hpad), jnp.float64),
+        jax.sharding.NamedSharding(mesh, P()))
+    invd_g = np.concatenate([np.ones(blk),
+                             part.strided_scatter(1.0 / diag_m, fill=1.0),
+                             np.ones(blk)])
+    d_pad = np.stack([invd_g[i * s: i * s + s + 2 * blk]
+                      for i in range(ndev)]).reshape(-1)
+    d_pad = jax.device_put(jnp.asarray(d_pad, jnp.float64), sh)
+    x = jax.device_put(jnp.asarray(_to_carry(
+        part.pad_vector(rng.standard_normal(grid.n)), ndev, s, blk)), sh)
+    out = []
+    for overlap in (False, True):
+        ms = _make_local_msolve_kernel(part, axis, interpret=True,
+                                       terms_l=sts[0], terms_u=sts[1],
+                                       overlap=overlap)
+        f = jax.jit(_partial(jax.shard_map, mesh=mesh,
+                             in_specs=(P(), P(axis), P(axis)),
+                             out_specs=P(axis), check_vma=False)(ms))
+        out.append(np.asarray(f(gap_ext, d_pad, x)))
+    # boundary reach of the composition (see _make_local_msolve_kernel)
+    lo_l = min(o for o, _ in sts[0])
+    hi_u = max(o for o, _ in sts[1])
+    wl, wr = -lo_l, hi_u
+    edge = np.zeros(s + 2 * blk, bool)
+    edge[blk: blk + wl] = True
+    edge[blk + s - wr: blk + s] = True
+    edge = np.tile(edge, ndev)
+    np.testing.assert_array_equal(out[0][~edge], out[1][~edge])
+    # FMA-contraction noise is absolute at the scale of the O(1)
+    # intermediates (cancellation can leave small outputs), so bound the
+    # boundary rows by a few eps of the intermediate magnitude
+    scale = max(1.0, float(np.abs(out[0]).max()))
+    tol = 8 * np.finfo(out[0].dtype).eps * scale
+    np.testing.assert_allclose(out[0][edge], out[1][edge], rtol=0, atol=tol)
 
 
 @needs_8
