@@ -60,11 +60,13 @@ class SolverConfig:
     true_residual: bool = True
     # EXPERIMENTAL: fuse the alpha/omega dot reductions into the stencil
     # matvec kernel's epilogue (ConstStencilOperator.matvec_dots) — saves one
-    # full HBM re-read of y/w per reduction.  Off by default: the epilogue's
-    # cross-grid VMEM reduction sends the axon remote Mosaic compile into a
-    # multi-minute/hung state (see BASELINE.md r3 dot-epilogue note);
-    # correct in interpret mode (tests) — re-enable once the toolchain
-    # compiles it.
+    # full HBM re-read of y/w per reduction (measured ~1%/iter at 10M rows:
+    # the loop is dispatch-node-bound, BASELINE.md r3).  Off by default.
+    # HAZARD: the epilogue's cross-grid VMEM reduction sends the *axon*
+    # remote Mosaic compile into a multi-minute/hung state that wedges the
+    # chip claim ~30 min (BASELINE.md r3) — solve() force-disables it on
+    # that backend with a warning (bicgstab.effective_fused_dots); correct
+    # in interpret mode (tests) and safe to enable on non-axon TPU targets.
     fused_dots: bool = False
 
     def replace(self, **kw) -> "SolverConfig":

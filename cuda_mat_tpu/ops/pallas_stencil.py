@@ -352,16 +352,19 @@ def const_stencil_spmv_padded(x_pad: jax.Array, gapmask: jax.Array, terms,
 
 def _const_stencil_dots_kernel(*refs, terms, block, sub, np_true, n_w,
                                with_self):
-    # y = A x plus fused dot epilogues: per-lane partials of <w_j, y> (and
-    # <y, y> when ``with_self``) accumulated in a VMEM (n_dots, 128) block
-    # that stays resident across the sequential grid (constant index map) —
-    # the solver's alpha/omega reductions then cost zero extra HBM passes
-    # over y/w instead of one full re-read each (ROADMAP r3 "fold dot
+    # y = A x plus fused dot epilogues: per-lane, PER-BLOCK partials of
+    # <w_j, y> (and <y, y> when ``with_self``) written to a (g, n_dots, 128)
+    # output — the solver's alpha/omega reductions then cost zero extra HBM
+    # passes over y/w instead of one full re-read each (ROADMAP r3 "fold dot
     # partials into the kernels' epilogue"; replaces the cublasDdot call
     # sites pbicgstab.cu:106,135-136 fused with the csrmv at :104,:132).
-    # The final 128-lane sums happen in XLA on the tiny output.
+    # The cross-block + 128-lane sums happen in XLA on the tiny output as a
+    # tree reduction — the r3 form accumulated sequentially across the grid
+    # in a grid-resident VMEM block, which both degraded conditioning
+    # (ADVICE r3: g sequential adds per lane) and was the moving part in the
+    # axon Mosaic compile hang (BASELINE.md r3).
     # refs = (base_ref, x_sub_0..x_sub_{k+1}, gapmask_ref, w_0..w_{n_w-1},
-    #         y_ref, dot_ref[VMEM (n_dots, 128)])
+    #         y_ref, dot_ref[(1, n_dots, 128) block of the (g,...) output])
     base_ref = refs[0]
     k = block // sub
     x_refs = refs[1:1 + (k + 2)]
@@ -371,10 +374,6 @@ def _const_stencil_dots_kernel(*refs, terms, block, sub, np_true, n_w,
     i = pl.program_id(0)
     g = pl.num_programs(0)
     base = base_ref[0]
-
-    @pl.when(i == 0)
-    def _init():
-        dot_ref[...] = jnp.zeros_like(dot_ref)
 
     @pl.when((i > 0) & (i < g - 1))
     def _interior():
@@ -401,14 +400,15 @@ def _const_stencil_dots_kernel(*refs, terms, block, sub, np_true, n_w,
         yv = y_ref[:]     # the final (masked) block — read-back from VMEM
         for j in range(n_w):
             part = (w_refs[j][:] * yv).reshape(block // 128, 128)
-            dot_ref[j, :] = dot_ref[j, :] + jnp.sum(part, axis=0)
+            dot_ref[0, j, :] = jnp.sum(part, axis=0)
         if with_self:
             part = (yv * yv).reshape(block // 128, 128)
-            dot_ref[n_w, :] = dot_ref[n_w, :] + jnp.sum(part, axis=0)
+            dot_ref[0, n_w, :] = jnp.sum(part, axis=0)
 
     @pl.when((i == 0) | (i == g - 1))
     def _edge():
         y_ref[:] = jnp.zeros_like(y_ref)
+        dot_ref[...] = jnp.zeros_like(dot_ref)
 
 
 @partial(jax.jit, static_argnames=("terms", "np_true", "block", "sub",
@@ -420,9 +420,10 @@ def const_stencil_spmv_dots_padded(x_pad: jax.Array, gapmask: jax.Array, ws,
     """``(y_pad, dots)`` where ``y_pad = A x_pad`` (identical values to
     :func:`const_stencil_spmv_padded`) and ``dots[j] = <ws[j], y>``, plus
     ``dots[-1] = <y, y>`` when ``with_self`` — reductions fused into the
-    kernel's epilogue (lane-partial sums accumulated across the grid;
-    reduction order differs from ``jnp.dot``'s tree, an f32-chaos-level
-    trajectory perturbation).  Padded/gap cells of both y and the
+    kernel's epilogue (per-block lane partials, tree-summed over blocks and
+    lanes in XLA; reduction order still differs from ``jnp.dot``'s tree, an
+    f32-chaos-level trajectory perturbation).  Padded/gap cells of both y
+    and the
     (padded-protocol) weights are zero, so the partials equal the
     true-coordinate dots exactly."""
     npad = x_pad.shape[0] - 2 * block
@@ -460,14 +461,14 @@ def const_stencil_spmv_dots_padded(x_pad: jax.Array, gapmask: jax.Array, ws,
         in_specs=[base_spec] + x_specs + [gap_spec] + w_specs,
         out_specs=[pl.BlockSpec((block,), lambda i: (i,),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((n_dots, 128), lambda i: (0, 0),
+                   pl.BlockSpec((1, n_dots, 128), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM)],
         out_shape=[jax.ShapeDtypeStruct((npad + 2 * block,), x_pad.dtype),
-                   jax.ShapeDtypeStruct((n_dots, 128), x_pad.dtype)],
+                   jax.ShapeDtypeStruct((g, n_dots, 128), x_pad.dtype)],
         interpret=interpret,
     )(jnp.asarray(base, jnp.int32).reshape(1), *([x_pad] * (k + 2)), gapmask,
       *ws)
-    return y, jnp.sum(lanes, axis=1)
+    return y, jnp.sum(lanes, axis=(0, 2))
 
 
 def _const_msolve_kernel(*refs, terms_l, terms_u, hpad, block, sub, np_true):

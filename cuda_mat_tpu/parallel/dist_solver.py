@@ -564,6 +564,15 @@ class DistBicgstabSolver:
         bp = self._put_vec(b)
         # reference x0 = ones (pbicgstab.cu:827-832)
         x0p = self._put_vec(np.ones(part.n) if x0 is None else x0)
+        # dtAlg excludes H2D transfers (reference pbicgstab.h:108-109):
+        # finish the uploads before the solve timer starts, exactly like the
+        # single-chip wrappers — without this the tunnel's ~MB-scale b/x0
+        # transfer lands inside dtAlg and dominates it at bench scale.  Over
+        # the axon tunnel block_until_ready can return early (CLAUDE.md), so
+        # also fetch one element — a literal transfer cannot return early.
+        jax.block_until_ready((bp, x0p))
+        for v in (bp, x0p):
+            np.asarray(v.addressable_shards[0].data[:1])
         t1 = time.perf_counter()
         out = jax.block_until_ready(self._run(
             *self._mat_args, x0p, bp, self._inv_diag, self._tol, self._btol,

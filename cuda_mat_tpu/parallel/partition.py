@@ -44,7 +44,13 @@ class RowPartitionedBanded:
         raises ValueError (→ the caller's ELL/all-gather fallback) *before*
         materializing an [ndiag, n] array."""
         dia = a.to_dia(max_diags=max_diags) if isinstance(a, CSRMatrix) else a
-        assert isinstance(dia, DIAMatrix)
+        if not isinstance(dia, DIAMatrix):
+            # ValueError (not assert) so the auto-engine fallback in
+            # dist_bicgstab — which catches only ValueError — still fires
+            # under python -O (ADVICE r3)
+            raise ValueError(
+                f"RowPartitionedBanded needs a CSR or DIA matrix, got"
+                f" {type(a).__name__}")
         n = dia.n
         shard_rows = -(-n // ndev)
         shard_rows = -(-shard_rows // align) * align
@@ -120,7 +126,11 @@ class RowPartitionedStencil:
                                                      stencil_layout)
 
         dia = a.to_dia(max_diags=max_diags) if isinstance(a, CSRMatrix) else a
-        assert isinstance(dia, DIAMatrix)
+        if not isinstance(dia, DIAMatrix):
+            # ValueError (not assert): see RowPartitionedBanded.from_matrix
+            raise ValueError(
+                f"RowPartitionedStencil needs a CSR or DIA matrix, got"
+                f" {type(a).__name__}")
         det = detect_const_stencil(dia)
         if det is None:
             raise ValueError(

@@ -349,6 +349,38 @@ def effective_debug(debug: bool) -> bool:
     return False
 
 
+_warned_fused_dots = False
+
+
+def effective_fused_dots(fused: bool) -> bool:
+    """Guard the experimental dot-epilogue kernels the way
+    :func:`effective_debug` guards host callbacks: the epilogue's cross-grid
+    VMEM reduction sends the *axon* remote Mosaic compile into a
+    multi-minute/hung state that wedges the chip claim (measured ~30 min,
+    BASELINE.md r3), so on that backend the flag degrades to a one-time
+    warning instead of hanging the user's session (ADVICE r3)."""
+    global _warned_fused_dots
+    if not fused:
+        return False
+    try:
+        import jax.extend
+
+        ver = jax.extend.backend.get_backend().platform_version
+    except Exception:
+        return True
+    if "axon" not in ver:
+        return True
+    if not _warned_fused_dots:
+        import warnings
+
+        warnings.warn(
+            "fused_dots=True: the dot-epilogue kernel hangs this TPU"
+            " backend's remote Mosaic compile (BASELINE.md r3); forcing"
+            " fused_dots off", stacklevel=3)
+        _warned_fused_dots = True
+    return False
+
+
 def _force_completion(out) -> None:
     """Fetch one scalar of the solve output to the host before the dtAlg
     timer stops.  ``block_until_ready`` over the axon TPU tunnel can return
@@ -594,7 +626,7 @@ def solve(a, b, config: SolverConfig = DEFAULT_CONFIG,
     t1 = time.perf_counter()
     out = _precond_solve(op, pre, x0d, bd, jnp.asarray(config.tol, dt),
                          config.maxit, effective_debug(config.debug),
-                         fused_dots=config.fused_dots)
+                         fused_dots=effective_fused_dots(config.fused_dots))
     out = jax.block_until_ready(out)
     _force_completion(out)
     t2 = time.perf_counter()
