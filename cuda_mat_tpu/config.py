@@ -68,6 +68,14 @@ class SolverConfig:
     # that backend with a warning (bicgstab.effective_fused_dots); correct
     # in interpret mode (tests) and safe to enable on non-axon TPU targets.
     fused_dots: bool = False
+    # Fold the p-update / r1-production axpys into the fused msolve kernel's
+    # prologue (NeumannILUPreconditioner.msolve_fma: the kernel computes
+    # p = r + β(p − ωv) in VMEM, writes it out, and applies M⁻¹ in the same
+    # launch) — one fewer dispatch node and one fewer HBM write+read of p
+    # per application on the stencil ilu0_neumann path.  The in-kernel FMA
+    # may differ from the XLA axpy by one contraction ulp (f32 trajectory
+    # chaos band, BASELINE.md); set False to restore the separate-axpy body.
+    fuse_blas1: bool = True
 
     def replace(self, **kw) -> "SolverConfig":
         return dataclasses.replace(self, **kw)

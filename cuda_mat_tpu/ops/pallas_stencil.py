@@ -471,6 +471,56 @@ def const_stencil_spmv_dots_padded(x_pad: jax.Array, gapmask: jax.Array, ws,
     return y, jnp.sum(lanes, axis=(0, 2))
 
 
+def _msolve_series_interior(xs, d_refs, gap_ref, y_ref, u_ref, row0, *,
+                            terms_l, terms_u, hpad, block, sub, np_true):
+    # Shared interior of the fused msolve kernels: given the input window
+    # ``xs`` ([row0 - sub, row0 + block + sub) in the padded layout), apply
+    # u = (P_l xs)·gap·d on the extended region [row0 - hpad, row0 + block +
+    # hpad) held in VMEM scratch, then y = (P_u u)·gap on the block.
+    # Masking reproduces the sequential semantics bitwise: u = (acc·gap)·d
+    # with the *extended* periodic gapmask, then zeroed outside the global
+    # true rows [0, np_true) — exactly the values the P_l launch + XLA
+    # multiply would have produced (pad blocks zero, tail zero, gaps zero).
+    ext = block + 2 * hpad
+    vdt = xs.dtype
+    acc = None
+    for (off, scal) in terms_l:
+        xw = jax.lax.slice(xs, (sub - hpad + off,),
+                           (sub - hpad + off + ext,))
+        term = jnp.asarray(scal, vdt) * xw
+        acc = term if acc is None else acc + term
+    ds = jnp.concatenate([r[:] for r in d_refs])
+    dw = jax.lax.slice(ds, (sub - hpad,), (sub - hpad + ext,))
+    u_ref[:] = acc * gap_ref[:] * dw
+    e0 = row0 - hpad                    # global strided row of u[0]
+
+    @pl.when((e0 < 0) | (e0 + ext > np_true))
+    def _u_edge():
+        # zero u outside the global true rows: the sequential P_l launch
+        # writes zeros to the pad blocks and the [np_true, npad) tail
+        t = e0 + jax.lax.broadcasted_iota(jnp.int32, (ext,), 0)
+        u_ref[:] = jnp.where((t >= 0) & (t < jnp.int32(np_true)),
+                             u_ref[:], jnp.zeros_like(u_ref))
+
+    u = u_ref[:]
+    acc2 = None
+    for (off, scal) in terms_u:
+        uw = jax.lax.slice(u, (hpad + off,), (hpad + off + block,))
+        term = jnp.asarray(scal, vdt) * uw
+        acc2 = term if acc2 is None else acc2 + term
+    acc2 = acc2 * jax.lax.slice(gap_ref[:], (hpad,), (hpad + block,))
+
+    @pl.when(row0 + block > np_true)
+    def _tail():
+        t = row0 + jax.lax.broadcasted_iota(jnp.int32, (block,), 0)
+        y_ref[:] = jnp.where(t < jnp.int32(np_true), acc2,
+                             jnp.zeros_like(acc2))
+
+    @pl.when(row0 + block <= np_true)
+    def _notail():
+        y_ref[:] = acc2
+
+
 def _const_msolve_kernel(*refs, terms_l, terms_u, hpad, block, sub, np_true):
     # Fused Neumann msolve: y = P_u · (inv_d ∘ (P_l x)) in ONE launch.
     # refs = (base_ref [SMEM], x_sub_0..x_sub_{k+1}, d_sub_0..d_sub_{k+1},
@@ -479,10 +529,6 @@ def _const_msolve_kernel(*refs, terms_l, terms_u, hpad, block, sub, np_true):
     #         so the sequential two-launch series' intermediate never touches
     #         HBM (~3 passes + 1 launch per msolve instead of ~7 + 2; the
     #         reference's msolve role is pbicgstab.cu:92-98).
-    # Masking reproduces the sequential semantics bitwise: u = (acc·gap)·d
-    # with the *extended* periodic gapmask, then zeroed outside the global
-    # true rows [0, np_true) — exactly the values the P_l launch + XLA
-    # multiply would have produced (pad blocks zero, tail zero, gaps zero).
     base_ref = refs[0]
     k = block // sub
     nv = k + 2
@@ -491,54 +537,61 @@ def _const_msolve_kernel(*refs, terms_l, terms_u, hpad, block, sub, np_true):
     gap_ref, y_ref, u_ref = refs[-3], refs[-2], refs[-1]
     i = pl.program_id(0)
     g = pl.num_programs(0)
-    base = base_ref[0]
-    ext = block + 2 * hpad
 
     @pl.when((i > 0) & (i < g - 1))
     def _interior():
         xs = jnp.concatenate([r[:] for r in x_refs])
-        vdt = xs.dtype
-        acc = None
-        for (off, scal) in terms_l:
-            xw = jax.lax.slice(xs, (sub - hpad + off,),
-                               (sub - hpad + off + ext,))
-            term = jnp.asarray(scal, vdt) * xw
-            acc = term if acc is None else acc + term
-        ds = jnp.concatenate([r[:] for r in d_refs])
-        dw = jax.lax.slice(ds, (sub - hpad,), (sub - hpad + ext,))
-        u_ref[:] = acc * gap_ref[:] * dw
-        row0 = base + (i - 1) * block   # global strided row of y[0]
-        e0 = row0 - hpad                # global strided row of u[0]
-
-        @pl.when((e0 < 0) | (e0 + ext > np_true))
-        def _u_edge():
-            # zero u outside the global true rows: the sequential P_l launch
-            # writes zeros to the pad blocks and the [np_true, npad) tail
-            t = e0 + jax.lax.broadcasted_iota(jnp.int32, (ext,), 0)
-            u_ref[:] = jnp.where((t >= 0) & (t < jnp.int32(np_true)),
-                                 u_ref[:], jnp.zeros_like(u_ref))
-
-        u = u_ref[:]
-        vdt = u.dtype
-        acc2 = None
-        for (off, scal) in terms_u:
-            uw = jax.lax.slice(u, (hpad + off,), (hpad + off + block,))
-            term = jnp.asarray(scal, vdt) * uw
-            acc2 = term if acc2 is None else acc2 + term
-        acc2 = acc2 * jax.lax.slice(gap_ref[:], (hpad,), (hpad + block,))
-
-        @pl.when(row0 + block > np_true)
-        def _tail():
-            t = row0 + jax.lax.broadcasted_iota(jnp.int32, (block,), 0)
-            y_ref[:] = jnp.where(t < jnp.int32(np_true), acc2,
-                                 jnp.zeros_like(acc2))
-
-        @pl.when(row0 + block <= np_true)
-        def _notail():
-            y_ref[:] = acc2
+        row0 = base_ref[0] + (i - 1) * block  # global strided row of y[0]
+        _msolve_series_interior(xs, d_refs, gap_ref, y_ref, u_ref, row0,
+                                terms_l=terms_l, terms_u=terms_u, hpad=hpad,
+                                block=block, sub=sub, np_true=np_true)
 
     @pl.when((i == 0) | (i == g - 1))
     def _edge():
+        y_ref[:] = jnp.zeros_like(y_ref)
+
+
+def _const_msolve_fma_kernel(*refs, terms_l, terms_u, hpad, block, sub,
+                             np_true):
+    # BLAS1-prologue variant of the fused msolve (VERDICT r3 next-round #5:
+    # fold the p-update / r1-production axpys into the msolve kernel): the
+    # input vector is computed IN the kernel as p = a + c1·(b + c2·c) on the
+    # whole windowed region, written out as the first output, and fed to the
+    # same series interior — one launch replaces the XLA axpy node(s) + the
+    # plain msolve launch, saving a full HBM write+read of p plus a dispatch
+    # node per application (reference axpy sites pbicgstab.cu:86-88,:108).
+    # refs = (base_ref [SMEM], coef_ref [SMEM (2,)], a_subs, b_subs, c_subs,
+    #         d_subs, gapext_ref, p_ref, y_ref, u_scratch)
+    base_ref, coef_ref = refs[0], refs[1]
+    k = block // sub
+    nv = k + 2
+    a_refs = refs[2:2 + nv]
+    b_refs = refs[2 + nv:2 + 2 * nv]
+    c_refs = refs[2 + 2 * nv:2 + 3 * nv]
+    d_refs = refs[2 + 3 * nv:2 + 4 * nv]
+    gap_ref, p_ref, y_ref, u_ref = refs[-4], refs[-3], refs[-2], refs[-1]
+    i = pl.program_id(0)
+    g = pl.num_programs(0)
+
+    @pl.when((i > 0) & (i < g - 1))
+    def _interior():
+        c1 = coef_ref[0]
+        c2 = coef_ref[1]
+        av = jnp.concatenate([r[:] for r in a_refs])
+        bv = jnp.concatenate([r[:] for r in b_refs])
+        cv = jnp.concatenate([r[:] for r in c_refs])
+        # zeros of the padded layout (gaps/pads/tail) are a fixed point of
+        # the linear combination, so p needs no masking of its own
+        xs = av + c1 * (bv + c2 * cv)
+        p_ref[:] = jax.lax.slice(xs, (sub,), (sub + block,))
+        row0 = base_ref[0] + (i - 1) * block
+        _msolve_series_interior(xs, d_refs, gap_ref, y_ref, u_ref, row0,
+                                terms_l=terms_l, terms_u=terms_u, hpad=hpad,
+                                block=block, sub=sub, np_true=np_true)
+
+    @pl.when((i == 0) | (i == g - 1))
+    def _edge():
+        p_ref[:] = jnp.zeros_like(p_ref)
         y_ref[:] = jnp.zeros_like(y_ref)
 
 
@@ -616,6 +669,71 @@ def const_series_msolve_padded(x_pad: jax.Array, inv_d_pad: jax.Array,
         scratch_shapes=[pltpu.VMEM((block + 2 * hpad,), x_pad.dtype)],
         interpret=interpret,
     )(jnp.asarray(base, jnp.int32).reshape(1), *([x_pad] * (k + 2)),
+      *([inv_d_pad] * (k + 2)), gapmask_ext)
+
+
+@partial(jax.jit, static_argnames=("terms_l", "terms_u", "np_true", "block",
+                                   "sub", "interpret"))
+def const_series_msolve_fma_padded(a_pad: jax.Array, c1, b_pad: jax.Array,
+                                   c2, c_pad: jax.Array,
+                                   inv_d_pad: jax.Array,
+                                   gapmask_ext: jax.Array, terms_l, terms_u,
+                                   np_true: int, block: int, sub: int,
+                                   interpret: bool = False, base=None):
+    """BLAS1-prologue fused msolve (one launch, two outputs):
+
+        p = a + c1·(b + c2·c)          (elementwise, in-kernel)
+        y = P_u · (inv_d ∘ (P_l p))    (the fused Neumann series)
+
+    returning ``(p_pad, y_pad)``.  Folds the BiCGSTAB p-update
+    ``p = r + β(p − ω v)`` (c1=β, c2=−ω) and r1-production ``r1 = r − α v``
+    (c1=−α, c2=0) into the msolve that immediately consumes them (reference
+    axpy sites pbicgstab.cu:86-88,:108 feeding the L/U solves :94,:123) —
+    saves the XLA axpy dispatch node and a full HBM write+read of p per
+    application.  Same layout contract as :func:`const_series_msolve_padded`;
+    scalars ride in SMEM.
+    """
+    npad = a_pad.shape[0] - 2 * block
+    assert npad % block == 0 and block % sub == 0
+    hpad = msolve_halo(terms_u)
+    h_l = max(abs(t[0]) for t in terms_l)
+    assert h_l + hpad <= sub, (h_l, hpad, sub)
+    assert hpad <= block
+    assert gapmask_ext.shape == (block + 2 * hpad,)
+    assert inv_d_pad.shape == a_pad.shape == b_pad.shape == c_pad.shape
+    g = npad // block + 2
+    k = block // sub
+    n_sub = (npad + 2 * block) // sub
+    if base is None:
+        base = jnp.zeros((1,), jnp.int32)
+    dt = a_pad.dtype
+    coef = jnp.stack([jnp.asarray(c1, dt).reshape(()),
+                      jnp.asarray(c2, dt).reshape(())])
+
+    def sub_map(j):
+        return lambda i: (jnp.clip(i * k + j - 1, 0, n_sub - 1),)
+
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    sub_specs = [pl.BlockSpec((sub,), sub_map(j), memory_space=pltpu.VMEM)
+                 for j in range(k + 2)]
+    gap_spec = pl.BlockSpec((block + 2 * hpad,), lambda i: (0,),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((block,), lambda i: (i,),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((npad + 2 * block,), dt)
+    kernel = partial(_const_msolve_fma_kernel, terms_l=terms_l,
+                     terms_u=terms_u, hpad=hpad, block=block, sub=sub,
+                     np_true=np_true)
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[smem_spec, smem_spec] + sub_specs * 4 + [gap_spec],
+        out_specs=(out_spec, out_spec),
+        out_shape=(out_shape, out_shape),
+        scratch_shapes=[pltpu.VMEM((block + 2 * hpad,), dt)],
+        interpret=interpret,
+    )(jnp.asarray(base, jnp.int32).reshape(1), coef,
+      *([a_pad] * (k + 2)), *([b_pad] * (k + 2)), *([c_pad] * (k + 2)),
       *([inv_d_pad] * (k + 2)), gapmask_ext)
 
 

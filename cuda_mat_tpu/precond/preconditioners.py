@@ -149,6 +149,10 @@ class NeumannILUPreconditioner:
                      # interior constant too; measured +0 iterations at tol
                      # 1e-4 and 1e-8)
     gap_ext: object = None  # (block + 2·hpad,) extended gapmask ("kernel")
+    fma_fits: bool = False  # static: the BLAS1-prologue kernel variant
+                     # (msolve_fma) fits the scoped-VMEM budget — it holds
+                     # three input streams + the p output on top of the
+                     # plain kernel's working set
 
     @classmethod
     def from_csr(cls, csr, dtype=jnp.float32, terms: int = 3,
@@ -234,7 +238,10 @@ class NeumannILUPreconditioner:
                     gap_ext = jnp.asarray(extend_gapmask(
                         np.asarray(pad_like.gapmask), hpad))
                     return cls(fl, fu, inv_d, terms, fused="kernel",
-                               gap_ext=gap_ext)
+                               gap_ext=gap_ext,
+                               fma_fits=_vmem_fits(
+                                   pad_like,
+                                   len(fl.terms) + len(fu.terms) + 9))
                 return cls(fl, fu, inv_d, terms, fused="series")
             return cls(nl, nu, inv_d, terms)
         if pad_like is not None:
@@ -292,10 +299,30 @@ class NeumannILUPreconditioner:
             x = x + term
         return x
 
+    def msolve_fma(self, a, c1, b, c2, c):
+        """``(p, M⁻¹ p)`` with ``p = a + c1·(b + c2·c)`` — the BLAS1 prologue
+        folded into the one-launch fused msolve kernel when it fits scoped
+        VMEM (``fused == "kernel"`` and :attr:`fma_fits`), else the XLA
+        combination + plain :meth:`msolve` (same math; the kernel's in-VPU
+        FMA may differ from XLA's by one contraction ulp).  Solver hook:
+        :func:`cuda_mat_tpu.solvers.bicgstab.precond_core` feeds the
+        p-update and r1-production axpys through this (VERDICT r3 #5)."""
+        if self.fused == "kernel" and self.fma_fits:
+            from cuda_mat_tpu.ops.pallas_stencil import (
+                const_series_msolve_fma_padded)
+
+            op = self.nl
+            return const_series_msolve_fma_padded(
+                a, c1, b, c2, c, self.inv_d, self.gap_ext, op.strided_terms,
+                self.nu.strided_terms, op.np_true, op.block, op.sub,
+                op.interpret)
+        p = a + c1 * (b + c2 * c)
+        return p, self.msolve(p)
+
 
 jax.tree_util.register_dataclass(NeumannILUPreconditioner,
                                  data_fields=["nl", "nu", "inv_d", "gap_ext"],
-                                 meta_fields=["terms", "fused"])
+                                 meta_fields=["terms", "fused", "fma_fits"])
 
 
 @dataclasses.dataclass(frozen=True)

@@ -131,7 +131,7 @@ class _PState(NamedTuple):
 
 
 def precond_core(matvec, msolve, dot, x0, b, tol, maxit, debug=False,
-                 matvec_dots=None):
+                 matvec_dots=None, msolve_fma=None):
     """Preconditioned BiCGSTAB loop (reference gpu_pbicgstab,
     pbicgstab.cu:45-154): two M-solve + SpMV half-steps per iteration with a
     convergence check after each; the first check exits *without* bumping the
@@ -143,7 +143,13 @@ def precond_core(matvec, msolve, dot, x0, b, tol, maxit, debug=False,
     SpMV + dot-partials (e.g.
     :meth:`~cuda_mat_tpu.ops.pallas_stencil.ConstStencilOperator.matvec_dots`)
     — the alpha/omega reductions then re-read nothing (reference dot sites
-    pbicgstab.cu:106,135-136 fused into the :104,:132 SpMVs)."""
+    pbicgstab.cu:106,135-136 fused into the :104,:132 SpMVs).
+
+    ``msolve_fma(a, c1, b_, c2, c) -> (p, M⁻¹p)``: optional BLAS1-prologue
+    msolve (e.g. :meth:`~cuda_mat_tpu.precond.preconditioners.
+    NeumannILUPreconditioner.msolve_fma`) — the p-update and r1-production
+    axpys (reference pbicgstab.cu:86-88,:108) then run inside the msolve
+    kernel instead of as separate XLA nodes (VERDICT r3 #5)."""
     dt = b.dtype
     one = jnp.asarray(1.0, dt)
     r = b - matvec(x0)
@@ -174,8 +180,11 @@ def precond_core(matvec, msolve, dot, x0, b, tol, maxit, debug=False,
         beta = jnp.where(first, jnp.asarray(0.0, dt),
                          (rho / jnp.where(first, one, rhop))
                          * (st.alpha / st.omega))
-        p = st.r + beta * (st.p - st.omega * st.v)
-        pw = msolve(p)
+        if msolve_fma is None:
+            p = st.r + beta * (st.p - st.omega * st.v)
+            pw = msolve(p)
+        else:
+            p, pw = msolve_fma(st.r, beta, st.p, -st.omega, st.v)
         if matvec_dots is None:
             v = matvec(pw)
             den_a = dot(rw, v)
@@ -183,14 +192,18 @@ def precond_core(matvec, msolve, dot, x0, b, tol, maxit, debug=False,
             v, parts = matvec_dots(pw, (rw,))
             den_a = parts[0]
         alpha = rho / den_a
-        r1 = st.r - alpha * v
+        if msolve_fma is None:
+            r1 = st.r - alpha * v
+        else:
+            r1, s = msolve_fma(st.r, -alpha, v, jnp.asarray(0.0, dt), st.v)
         x1 = st.x + alpha * pw
         nrmr1 = jnp.sqrt(dot(r1, r1))
         if debug:
             jax.debug.print("i = {}, residual norm (before precond) = {}",
                             st.i, nrmr1)
         conv1 = nrmr1 < tol * nrmr0
-        s = msolve(r1)
+        if msolve_fma is None:
+            s = msolve(r1)
         if matvec_dots is None:
             t = matvec(s)
             num_o = dot(t, r1)
@@ -226,11 +239,17 @@ def precond_core(matvec, msolve, dot, x0, b, tol, maxit, debug=False,
     return st.x, st.status, st.i, st.nrmr, nrmr0, st.hist
 
 
-@partial(jax.jit, static_argnames=("maxit", "debug", "fused_dots"))
-def _precond_solve(op, pre, x0, b, tol, maxit, debug=False, fused_dots=False):
+@partial(jax.jit, static_argnames=("maxit", "debug", "fused_dots",
+                                   "fuse_blas1"))
+def _precond_solve(op, pre, x0, b, tol, maxit, debug=False, fused_dots=False,
+                   fuse_blas1=False):
     mvd = getattr(op, "matvec_dots", None) if fused_dots else None
+    # the BLAS1-prologue msolve only pays when it actually folds into the
+    # kernel launch; as a pure-XLA fallback it is the same graph
+    mfma = (pre.msolve_fma
+            if fuse_blas1 and getattr(pre, "fma_fits", False) else None)
     return precond_core(op.matvec, pre.msolve, jnp.dot, x0, b, tol, maxit,
-                        debug, matvec_dots=mvd)
+                        debug, matvec_dots=mvd, msolve_fma=mfma)
 
 
 # ---------------------------------------------------------------------------
@@ -626,7 +645,8 @@ def solve(a, b, config: SolverConfig = DEFAULT_CONFIG,
     t1 = time.perf_counter()
     out = _precond_solve(op, pre, x0d, bd, jnp.asarray(config.tol, dt),
                          config.maxit, effective_debug(config.debug),
-                         fused_dots=effective_fused_dots(config.fused_dots))
+                         fused_dots=effective_fused_dots(config.fused_dots),
+                         fuse_blas1=config.fuse_blas1)
     out = jax.block_until_ready(out)
     _force_completion(out)
     t2 = time.perf_counter()

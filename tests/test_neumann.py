@@ -238,6 +238,73 @@ def test_kernel_msolve_bitwise_matches_series(rng):
             yk, np.asarray(op.pad_vec(op.unpad_vec(jnp.asarray(yk)))))
 
 
+def test_fma_msolve_matches_prologue_plus_kernel(rng):
+    """msolve_fma (BLAS1 prologue folded into the fused kernel, VERDICT r3
+    #5) returns (p, msolve(p)) for p = a + c1·(b + c2·c) up to one FMA
+    contraction ulp (the jitted kernel may contract the combination's
+    mul+add; same documented band as the halo boundary recompute)."""
+    import dataclasses
+
+    from cuda_mat_tpu.models.problems import grid_laplacian
+    from cuda_mat_tpu.ops.pallas_stencil import (ConstStencilOperator,
+                                                 plan_const_neumann_layout)
+
+    for (r, c, k) in [(24, 126, 3), (40, 12, 4)]:
+        a = grid_laplacian(r, c)
+        op0 = _stencil_op(a)
+        plan = plan_const_neumann_layout(op0.terms, k, op0.c_grid, op0.stride)
+        op = ConstStencilOperator.from_dia(
+            a.to_dia(max_diags=16), dtype=jnp.float64, interpret=True,
+            min_sub=plan[0], block_target=plan[1])
+        pre = NeumannILUPreconditioner.from_csr(a, dtype=jnp.float64,
+                                                terms=k, pad_like=op)
+        assert pre.fused == "kernel" and pre.fma_fits, (r, c, k)
+        av = op.pad_vec(rng.standard_normal(a.n))
+        bv = op.pad_vec(rng.standard_normal(a.n))
+        cv = op.pad_vec(rng.standard_normal(a.n))
+        for (c1, c2) in [(0.73, -1.21), (-0.4, 0.0), (0.0, 5.0)]:
+            c1 = jnp.asarray(c1, jnp.float64)
+            c2 = jnp.asarray(c2, jnp.float64)
+            p, y = pre.msolve_fma(av, c1, bv, c2, cv)
+            p_ref = av + c1 * (bv + c2 * cv)
+            y_ref = pre.msolve(p_ref)
+            np.testing.assert_allclose(np.asarray(p), np.asarray(p_ref),
+                                       rtol=5e-15, atol=5e-15)
+            np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                       rtol=1e-12, atol=1e-12)
+            # the zero pads/gaps stay an exact fixed point of both outputs
+            mask = np.asarray(op.pad_vec(np.ones(a.n))) == 0
+            assert not np.asarray(p)[mask].any()
+            assert not np.asarray(y)[mask].any()
+        # the XLA fallback (fma_fits=False) computes the identical math
+        fb = dataclasses.replace(pre, fma_fits=False)
+        p2, y2 = fb.msolve_fma(av, c1, bv, c2, cv)
+        np.testing.assert_allclose(np.asarray(p2), np.asarray(p),
+                                   rtol=5e-15, atol=5e-15)
+        np.testing.assert_allclose(np.asarray(y2), np.asarray(y),
+                                   rtol=1e-12, atol=1e-12)
+
+
+def test_fuse_blas1_solve_matches_separate_axpys(rng):
+    """solve() with config.fuse_blas1 converges like the separate-axpy body
+    (f64: the folded combination differs from the XLA axpys by at most one
+    FMA contraction ulp, so iteration counts stay put and both solutions
+    meet the tolerance)."""
+    from cuda_mat_tpu.models.problems import grid_laplacian
+
+    a = grid_laplacian(40, 126)
+    b = a.matvec(rng.standard_normal(a.n))
+    cfg = SolverConfig(maxit=2000, tol=1e-6, dtype="float64",
+                       precond="ilu0_neumann", neumann_terms=3)
+    r_on = solve(a, b, cfg.replace(fuse_blas1=True), format="stencil")
+    r_off = solve(a, b, cfg.replace(fuse_blas1=False), format="stencil")
+    assert r_on.converged and r_off.converged
+    assert abs(r_on.iters - r_off.iters) <= 2
+    nb = np.linalg.norm(b)
+    assert np.linalg.norm(b - a.matvec(r_on.x)) / nb < 1e-5
+    np.testing.assert_allclose(r_on.x, r_off.x, rtol=1e-7, atol=1e-7)
+
+
 def test_kernel_msolve_engages_through_solve(rng):
     """solve() on the stencil path plans the layout for the fused msolve
     kernel and from_csr selects it (the production single-chip msolve)."""
