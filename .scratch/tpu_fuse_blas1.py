@@ -4,7 +4,10 @@ flagship solve with the fold on/off, plus maxit-differenced per-iteration
 time (tol=0, maxit 30 vs 90 — cancels fixed overhead AND iteration-count
 chaos between variants).  Run alone on the chip (CLAUDE.md: never two TPU
 processes)."""
-import time
+import sys
+
+sys.path.insert(0, "/root/repo")  # script lives in .scratch/; do NOT use
+# PYTHONPATH — setting it breaks the axon plugin registration (measured)
 
 import numpy as np
 

@@ -283,7 +283,7 @@ def _make_local_matvec_stencil(part, axis, interpret, overlap: bool = True,
 
 
 def _make_local_msolve_kernel(part, axis, interpret, terms_l, terms_u,
-                              overlap: bool = True):
+                              overlap: bool = True, fma: bool = False):
     """Per-shard ONE-launch fused Neumann msolve
     (:func:`cuda_mat_tpu.ops.pallas_stencil.const_series_msolve_padded`):
     ``y = P_u (inv_d ∘ P_l x)`` with the intermediate held in VMEM scratch —
@@ -309,9 +309,21 @@ def _make_local_msolve_kernel(part, axis, interpret, terms_l, terms_u,
     ulp, not bitwise (measured: interior rows bitwise-equal — the indexing
     proof — boundary diffs 1 ulp on ~10% of rows; see the CPU-mesh test).
     ``overlap=False`` scatters both halos into the pad blocks before the
-    launch (kept for that test)."""
-    from cuda_mat_tpu.ops.pallas_stencil import (const_series_msolve_padded,
-                                                 msolve_halo)
+    launch (kept for that test).
+
+    ``fma=True`` returns the BLAS1-prologue form instead:
+    ``msolve_fma(gap_ext, d_pad, a, c1, b, c2, c) -> (p, y)`` with
+    ``p = a + c1·(b + c2·c)`` computed inside the kernel
+    (:func:`~cuda_mat_tpu.ops.pallas_stencil.const_series_msolve_fma_padded`)
+    — the distributed mirror of
+    :meth:`~cuda_mat_tpu.precond.preconditioners.NeumannILUPreconditioner.
+    msolve_fma` (VERDICT r3 #5).  p is elementwise, so it needs no exchange
+    of its own: the halo strips the neighbors need are the *combination*
+    computed in XLA on the O(w) edge rows and ppermuted — still ONE pair per
+    application, still off the kernel's critical path."""
+    from cuda_mat_tpu.ops.pallas_stencil import (
+        const_series_msolve_fma_padded, const_series_msolve_padded,
+        msolve_halo)
 
     hpad = msolve_halo(terms_u)
     lo_l = min(o for o, _ in terms_l)
@@ -403,7 +415,49 @@ def _make_local_msolve_kernel(part, axis, interpret, terms_l, terms_u,
                 y = jax.lax.dynamic_update_slice(y, y_r, (block + s - wr,))
         return y
 
-    return msolve
+    if not fma:
+        return msolve
+
+    def msolve_fma(gap_ext, d_pad, ac, c1, bc, c2, cc):
+        base = (jax.lax.axis_index(axis) * s).astype(jnp.int32)
+
+        def comb(lo, hi):
+            # the BLAS1 combination on an edge window (XLA; may differ from
+            # the kernel's in-VPU FMA by one contraction ulp — same band as
+            # the matvec boundary recompute)
+            return (jax.lax.slice(ac, (lo,), (hi,))
+                    + c1 * (jax.lax.slice(bc, (lo,), (hi,))
+                            + c2 * jax.lax.slice(cc, (lo,), (hi,))))
+
+        if ndev > 1 and not split:
+            # scatter form (tiny shards): materialize p and reuse the plain
+            # path — correct everywhere, just without the fold
+            p = ac + c1 * (bc + c2 * cc)
+            return p, msolve(gap_ext, d_pad, p)
+        if ndev > 1:
+            left_halo = jax.lax.ppermute(comb(block + s - wb, block + s),
+                                         axis, send_right)
+            right_halo = jax.lax.ppermute(comb(block, block + wb), axis,
+                                          send_left)
+        p_c, y = const_series_msolve_fma_padded(
+            ac, c1, bc, c2, cc, d_pad, gap_ext, terms_l, terms_u, np_true,
+            block, sub, interpret, base=base.reshape(1))
+        if ndev > 1:
+            if wl:
+                xe_l = jnp.concatenate([
+                    jax.lax.slice(left_halo, (wb - wl,), (wb,)),
+                    comb(block, block + wl + wr)])
+                y_l = _edge_y(xe_l, d_pad, base, 0, wl)
+                y = jax.lax.dynamic_update_slice(y, y_l, (block,))
+            if wr:
+                xe_r = jnp.concatenate([
+                    comb(block + s - wr - wl, block + s),
+                    jax.lax.slice(right_halo, (0,), (wr,))])
+                y_r = _edge_y(xe_r, d_pad, base, s - wr, wr)
+                y = jax.lax.dynamic_update_slice(y, y_r, (block + s - wr,))
+        return p_c, y
+
+    return msolve_fma
 
 
 def _psum_dot(axis=ROWS_AXIS):
@@ -876,6 +930,14 @@ def make_dist_bicgstab(a, mesh: Mesh,
 
                     fac_mvs = [_make_local_msolve_kernel(
                         part, axis, interpret, sts[0], sts[1])]
+                    if config.fuse_blas1 and (
+                            interpret or part.block <= stencil_vmem_block_cap(
+                                len(polys[0]) + len(polys[1]) + 9)):
+                        # BLAS1-prologue form (p-update / r1-production fold,
+                        # VERDICT r3 #5) — needs headroom for the two extra
+                        # input streams + the p output in scoped VMEM
+                        fac_mvs.append(_make_local_msolve_kernel(
+                            part, axis, interpret, sts[0], sts[1], fma=True))
                     fac_fused = "kernel"
                     fac_args.append(put_global(
                         np.asarray(extend_gapmask(part.gapmask, hpad), dt),
@@ -1027,10 +1089,15 @@ def make_dist_bicgstab(a, mesh: Mesh,
             if fac_fused == "kernel":
                 kernel_mv = fac_mvs[0]
                 gap_ext_l, d_pad_l = fac_l
-
+                mfma = None
+                if len(fac_mvs) > 1:
+                    kernel_fma = fac_mvs[1]
+                    mfma = (lambda a_, c1, b_, c2, c_:
+                            kernel_fma(gap_ext_l, d_pad_l, a_, c1, b_, c2,
+                                       c_))
                 return precond_core(
                     mv, lambda f: kernel_mv(gap_ext_l, d_pad_l, f), dot,
-                    x0_l, b_l, tol_, maxit, debug)
+                    x0_l, b_l, tol_, maxit, debug, msolve_fma=mfma)
             if fac_fused == "mono":
                 mono_mv = fac_mvs[0]
                 return precond_core(mv, lambda f: mono_mv(mat_l[0], f), dot,

@@ -488,6 +488,104 @@ def test_dist_stencil_neumann_uses_fused_msolve_kernel(grid, rng, monkeypatch):
 
 
 @needs_8
+def test_dist_fuse_blas1_matches_off(grid, rng):
+    """The distributed BLAS1-prologue msolve (config.fuse_blas1: p-update /
+    r1-production folded into the fused kernel launch, VERDICT r3 #5) tracks
+    the separate-axpy distributed solve: same collective pattern (one
+    ppermute pair per msolve), combination differs by <= 1 FMA-contraction
+    ulp."""
+    b = rng.uniform(1.0, 5.0, grid.n)
+    cfg = SolverConfig(maxit=2000, tol=1e-8, precond="ilu0_neumann",
+                       neumann_terms=3)
+    r_on = dist_bicgstab(grid, b, make_mesh(8), cfg.replace(fuse_blas1=True),
+                         local_engine="stencil")
+    r_off = dist_bicgstab(grid, b, make_mesh(8),
+                          cfg.replace(fuse_blas1=False),
+                          local_engine="stencil")
+    assert r_on.converged and r_off.converged
+    assert abs(r_on.iters - r_off.iters) <= max(3, 0.15 * r_off.iters)
+    np.testing.assert_allclose(r_on.x, r_off.x, rtol=1e-6, atol=1e-8)
+    rel = np.linalg.norm(b - grid.matvec(r_on.x)) / np.linalg.norm(b)
+    assert rel < 1e-7
+
+
+@needs_8
+@pytest.mark.parametrize("ndev", [1, 4])
+def test_dist_msolve_fma_kernel_matches_plain(grid, rng, ndev):
+    """_make_local_msolve_kernel(fma=True) returns (p, y) equal to the XLA
+    combination + plain fused-kernel msolve on the carry layout (interior
+    bitwise in f64 interpret up to FMA contraction; boundary rows within the
+    documented ulp band)."""
+    from functools import partial as _partial
+
+    from jax.sharding import PartitionSpec as P
+
+    from cuda_mat_tpu.ops.pallas_stencil import (
+        const_factor_terms, extend_gapmask, msolve_halo, neumann_poly_terms,
+        plan_const_neumann_layout, strided_offsets)
+    from cuda_mat_tpu.parallel.dist_solver import (_make_local_msolve_kernel,
+                                                   _to_carry)
+    from cuda_mat_tpu.parallel.partition import RowPartitionedStencil
+    from cuda_mat_tpu.precond.preconditioners import neumann_factors
+
+    mesh = make_mesh(ndev)
+    axis = mesh.axis_names[0]
+    part = RowPartitionedStencil.from_matrix(grid, ndev)
+    plan = plan_const_neumann_layout(part.terms, 3, part.c_grid, part.stride)
+    if plan[0] > part.sub or part.block > plan[1]:
+        part = RowPartitionedStencil.from_matrix(grid, ndev, min_sub=plan[0],
+                                                 block_target=plan[1])
+    low, up, diag_m = neumann_factors(grid)
+    sts = []
+    for f in (low, up):
+        t, _ = const_factor_terms(f.to_dia(max_diags=128), part.c_grid,
+                                  part.stride)
+        pt = neumann_poly_terms(t, 3, part.c_grid, part.stride)
+        sts.append(strided_offsets(pt, part.c_grid, part.stride))
+    hpad = msolve_halo(sts[1])
+    s, blk = part.shard_rows, part.block
+    sh = jax.sharding.NamedSharding(mesh, P(axis))
+    gap_ext = jax.device_put(
+        jnp.asarray(extend_gapmask(part.gapmask, hpad), jnp.float64),
+        jax.sharding.NamedSharding(mesh, P()))
+    invd_g = np.concatenate([np.ones(blk),
+                             part.strided_scatter(1.0 / diag_m, fill=1.0),
+                             np.ones(blk)])
+    d_pad = np.stack([invd_g[i * s: i * s + s + 2 * blk]
+                      for i in range(ndev)]).reshape(-1)
+    d_pad = jax.device_put(jnp.asarray(d_pad, jnp.float64), sh)
+
+    def carry(v):
+        return jax.device_put(jnp.asarray(_to_carry(
+            part.pad_vector(v), ndev, s, blk)), sh)
+
+    av = carry(rng.standard_normal(grid.n))
+    bv = carry(rng.standard_normal(grid.n))
+    cv = carry(rng.standard_normal(grid.n))
+    c1 = jnp.asarray(0.37, jnp.float64)
+    c2 = jnp.asarray(-1.9, jnp.float64)
+    ms = _make_local_msolve_kernel(part, axis, interpret=True,
+                                   terms_l=sts[0], terms_u=sts[1])
+    msf = _make_local_msolve_kernel(part, axis, interpret=True,
+                                    terms_l=sts[0], terms_u=sts[1], fma=True)
+    f_plain = jax.jit(_partial(jax.shard_map, mesh=mesh,
+                               in_specs=(P(), P(axis), P(axis)),
+                               out_specs=P(axis), check_vma=False)(ms))
+    f_fma = jax.jit(_partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(), P(axis), P(), P(axis)),
+        out_specs=(P(axis), P(axis)), check_vma=False)(msf))
+    p_ref = av + c1 * (bv + c2 * cv)
+    y_ref = np.asarray(f_plain(gap_ext, d_pad, p_ref))
+    p_got, y_got = f_fma(gap_ext, d_pad, av, c1, bv, c2, cv)
+    scale = max(1.0, float(np.abs(y_ref).max()))
+    tol = 16 * np.finfo(np.float64).eps * scale
+    np.testing.assert_allclose(np.asarray(p_got), np.asarray(p_ref),
+                               rtol=0, atol=tol)
+    np.testing.assert_allclose(np.asarray(y_got), y_ref, rtol=0, atol=tol)
+
+
+@needs_8
 def test_dist_stencil_ilu0_neumann(grid, rng):
     """The TPU production config — flagship stencil matvec + restrided
     Neumann-ILU(0) factors — distributes and tracks the single-chip
