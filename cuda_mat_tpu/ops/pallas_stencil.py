@@ -552,23 +552,25 @@ def _const_msolve_kernel(*refs, terms_l, terms_u, hpad, block, sub, np_true):
 
 
 def _const_msolve_fma_kernel(*refs, terms_l, terms_u, hpad, block, sub,
-                             np_true):
+                             np_true, nvec):
     # BLAS1-prologue variant of the fused msolve (VERDICT r3 next-round #5:
     # fold the p-update / r1-production axpys into the msolve kernel): the
-    # input vector is computed IN the kernel as p = a + c1·(b + c2·c) on the
+    # input vector is computed IN the kernel as p = a + c1·(b + c2·c)
+    # (``nvec=3``) or p = a + c1·b (``nvec=2`` — the r1-production axpy,
+    # which would otherwise stream a dead c·0 operand through HBM) on the
     # whole windowed region, written out as the first output, and fed to the
     # same series interior — one launch replaces the XLA axpy node(s) + the
     # plain msolve launch, saving a full HBM write+read of p plus a dispatch
     # node per application (reference axpy sites pbicgstab.cu:86-88,:108).
-    # refs = (base_ref [SMEM], coef_ref [SMEM (2,)], a_subs, b_subs, c_subs,
-    #         d_subs, gapext_ref, p_ref, y_ref, u_scratch)
+    # refs = (base_ref [SMEM], coef_ref [SMEM (2,)], a_subs, b_subs,
+    #         [c_subs,] d_subs, gapext_ref, p_ref, y_ref, u_scratch)
     base_ref, coef_ref = refs[0], refs[1]
     k = block // sub
     nv = k + 2
     a_refs = refs[2:2 + nv]
     b_refs = refs[2 + nv:2 + 2 * nv]
-    c_refs = refs[2 + 2 * nv:2 + 3 * nv]
-    d_refs = refs[2 + 3 * nv:2 + 4 * nv]
+    c_refs = refs[2 + 2 * nv:2 + 3 * nv] if nvec == 3 else None
+    d_refs = refs[2 + nvec * nv:2 + (nvec + 1) * nv]
     gap_ref, p_ref, y_ref, u_ref = refs[-4], refs[-3], refs[-2], refs[-1]
     i = pl.program_id(0)
     g = pl.num_programs(0)
@@ -576,13 +578,15 @@ def _const_msolve_fma_kernel(*refs, terms_l, terms_u, hpad, block, sub,
     @pl.when((i > 0) & (i < g - 1))
     def _interior():
         c1 = coef_ref[0]
-        c2 = coef_ref[1]
         av = jnp.concatenate([r[:] for r in a_refs])
         bv = jnp.concatenate([r[:] for r in b_refs])
-        cv = jnp.concatenate([r[:] for r in c_refs])
         # zeros of the padded layout (gaps/pads/tail) are a fixed point of
         # the linear combination, so p needs no masking of its own
-        xs = av + c1 * (bv + c2 * cv)
+        if nvec == 3:
+            cv = jnp.concatenate([r[:] for r in c_refs])
+            xs = av + c1 * (bv + coef_ref[1] * cv)
+        else:
+            xs = av + c1 * bv
         p_ref[:] = jax.lax.slice(xs, (sub,), (sub + block,))
         row0 = base_ref[0] + (i - 1) * block
         _msolve_series_interior(xs, d_refs, gap_ref, y_ref, u_ref, row0,
@@ -675,10 +679,12 @@ def const_series_msolve_padded(x_pad: jax.Array, inv_d_pad: jax.Array,
 @partial(jax.jit, static_argnames=("terms_l", "terms_u", "np_true", "block",
                                    "sub", "interpret"))
 def const_series_msolve_fma_padded(a_pad: jax.Array, c1, b_pad: jax.Array,
-                                   c2, c_pad: jax.Array,
-                                   inv_d_pad: jax.Array,
-                                   gapmask_ext: jax.Array, terms_l, terms_u,
-                                   np_true: int, block: int, sub: int,
+                                   c2=None, c_pad=None,
+                                   inv_d_pad: jax.Array = None,
+                                   gapmask_ext: jax.Array = None,
+                                   terms_l=None, terms_u=None,
+                                   np_true: int = 0, block: int = 0,
+                                   sub: int = 0,
                                    interpret: bool = False, base=None):
     """BLAS1-prologue fused msolve (one launch, two outputs):
 
@@ -687,11 +693,12 @@ def const_series_msolve_fma_padded(a_pad: jax.Array, c1, b_pad: jax.Array,
 
     returning ``(p_pad, y_pad)``.  Folds the BiCGSTAB p-update
     ``p = r + β(p − ω v)`` (c1=β, c2=−ω) and r1-production ``r1 = r − α v``
-    (c1=−α, c2=0) into the msolve that immediately consumes them (reference
-    axpy sites pbicgstab.cu:86-88,:108 feeding the L/U solves :94,:123) —
-    saves the XLA axpy dispatch node and a full HBM write+read of p per
-    application.  Same layout contract as :func:`const_series_msolve_padded`;
-    scalars ride in SMEM.
+    (``c_pad=None`` → the two-stream form ``p = a + c1·b``, which skips the
+    dead c operand's HBM stream entirely) into the msolve that immediately
+    consumes them (reference axpy sites pbicgstab.cu:86-88,:108 feeding the
+    L/U solves :94,:123) — saves the XLA axpy dispatch node and a full HBM
+    write+read of p per application.  Same layout contract as
+    :func:`const_series_msolve_padded`; scalars ride in SMEM.
     """
     npad = a_pad.shape[0] - 2 * block
     assert npad % block == 0 and block % sub == 0
@@ -700,7 +707,9 @@ def const_series_msolve_fma_padded(a_pad: jax.Array, c1, b_pad: jax.Array,
     assert h_l + hpad <= sub, (h_l, hpad, sub)
     assert hpad <= block
     assert gapmask_ext.shape == (block + 2 * hpad,)
-    assert inv_d_pad.shape == a_pad.shape == b_pad.shape == c_pad.shape
+    nvec = 2 if c_pad is None else 3
+    assert inv_d_pad.shape == a_pad.shape == b_pad.shape
+    assert c_pad is None or c_pad.shape == a_pad.shape
     g = npad // block + 2
     k = block // sub
     n_sub = (npad + 2 * block) // sub
@@ -708,7 +717,8 @@ def const_series_msolve_fma_padded(a_pad: jax.Array, c1, b_pad: jax.Array,
         base = jnp.zeros((1,), jnp.int32)
     dt = a_pad.dtype
     coef = jnp.stack([jnp.asarray(c1, dt).reshape(()),
-                      jnp.asarray(c2, dt).reshape(())])
+                      jnp.asarray(0.0 if c2 is None else c2,
+                                  dt).reshape(())])
 
     def sub_map(j):
         return lambda i: (jnp.clip(i * k + j - 1, 0, n_sub - 1),)
@@ -723,18 +733,19 @@ def const_series_msolve_fma_padded(a_pad: jax.Array, c1, b_pad: jax.Array,
     out_shape = jax.ShapeDtypeStruct((npad + 2 * block,), dt)
     kernel = partial(_const_msolve_fma_kernel, terms_l=terms_l,
                      terms_u=terms_u, hpad=hpad, block=block, sub=sub,
-                     np_true=np_true)
+                     np_true=np_true, nvec=nvec)
+    streams = [a_pad, b_pad] + ([c_pad] if nvec == 3 else []) + [inv_d_pad]
     return pl.pallas_call(
         kernel,
         grid=(g,),
-        in_specs=[smem_spec, smem_spec] + sub_specs * 4 + [gap_spec],
+        in_specs=[smem_spec, smem_spec] + sub_specs * (nvec + 1)
+        + [gap_spec],
         out_specs=(out_spec, out_spec),
         out_shape=(out_shape, out_shape),
         scratch_shapes=[pltpu.VMEM((block + 2 * hpad,), dt)],
         interpret=interpret,
     )(jnp.asarray(base, jnp.int32).reshape(1), coef,
-      *([a_pad] * (k + 2)), *([b_pad] * (k + 2)), *([c_pad] * (k + 2)),
-      *([inv_d_pad] * (k + 2)), gapmask_ext)
+      *[v for s in streams for v in [s] * (k + 2)], gapmask_ext)
 
 
 def detect_const_stencil(dia, dc_max: int = 8, dr_max: int = 8):
@@ -1048,9 +1059,23 @@ def stencil_vmem_block_cap(nterms: int, itemsize: int = 4) -> int:
     return _VMEM_BUDGET // (itemsize * (nterms + 6))
 
 
+# Extra block-sized VMEM buffers each msolve kernel variant holds on top of
+# the const-stencil matvec's own +6 (stencil_vmem_block_cap): the plain
+# fused msolve adds the u scratch + d stream + extended mask + windowed x;
+# the BLAS1-prologue (fma) variants add the extra input streams, the p
+# output, and the combination temporaries.  These constants are THE single
+# source for the layout planner AND the engagement gates
+# (NeumannILUPreconditioner.from_csr, make_dist_bicgstab) — a drifted copy
+# once made fma_fits unsatisfiable on every planner-constrained layout.
+MSOLVE_EXTRA_BUFS = 4        # const_series_msolve_padded
+FMA2_MSOLVE_EXTRA_BUFS = 7   # fma variant, p = a + c1*b        (2 streams)
+FMA3_MSOLVE_EXTRA_BUFS = 9   # fma variant, p = a + c1*(b+c2*c) (3 streams)
+
+
 def plan_const_neumann_layout(terms, k: int, c_grid: int, stride: int,
                               prefer_mono: bool = False,
-                              fuse_kernel: bool = True):
+                              fuse_kernel: bool = True,
+                              fuse_blas1: bool = True):
     """Symbolically expand the Neumann-series pattern on A's own offsets
     (ILU(0) factors share A's sparsity) and return
     ``(min_sub, block_target, terms_upper_bound)`` such that the fused
@@ -1063,7 +1088,11 @@ def plan_const_neumann_layout(terms, k: int, c_grid: int, stride: int,
     msolve kernel (:func:`const_series_msolve_padded`): the halo sub-block
     must cover ``max|off_l| + hpad`` (the P_l window of the extended u
     region) and the scoped-VMEM working set holds both polynomials' shifted
-    windows at once."""
+    windows at once.  ``fuse_blas1``: size for the BLAS1-prologue variant's
+    larger working set (:data:`FMA3_MSOLVE_EXTRA_BUFS` — three input
+    streams + the p output) so ``msolve_fma`` can actually engage; the
+    matvec is block-size-insensitive (CLAUDE.md measured facts), so the
+    smaller block is free."""
     lower = tuple((o, d, 1.0) for (o, d, _) in terms if o < 0)
     upper = tuple((o, d, 1.0) for (o, d, _) in terms if o > 0)
     if not lower or not upper:
@@ -1087,10 +1116,11 @@ def plan_const_neumann_layout(terms, k: int, c_grid: int, stride: int,
         hpad = msolve_halo(tuple((o, 1.0) for o in soffs_u))
         min_sub = max(min_sub, max(abs(o) for o in soffs_l) + hpad)
         # the fused kernel holds P_l windows over (block + 2 hpad) plus P_u
-        # windows, x/d streams, u scratch and the extended mask — model it
-        # as (|P_l| + |P_u| + 4) block-sized buffers on top of the matvec
-        # kernel's own +6
-        nmax = max(nmax, len(pl) + len(pu) + 4)
+        # windows, x/d streams, u scratch and the extended mask, modeled as
+        # block-sized buffers on top of the matvec kernel's own +6; the
+        # BLAS1-prologue variant adds its extra input streams + p output
+        extra = FMA3_MSOLVE_EXTRA_BUFS if fuse_blas1 else MSOLVE_EXTRA_BUFS
+        nmax = max(nmax, len(pl) + len(pu) + extra)
     return min_sub, stencil_vmem_block_cap(nmax), nmax
 
 

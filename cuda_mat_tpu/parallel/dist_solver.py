@@ -418,21 +418,23 @@ def _make_local_msolve_kernel(part, axis, interpret, terms_l, terms_u,
     if not fma:
         return msolve
 
-    def msolve_fma(gap_ext, d_pad, ac, c1, bc, c2, cc):
+    def msolve_fma(gap_ext, d_pad, ac, c1, bc, c2=None, cc=None):
         base = (jax.lax.axis_index(axis) * s).astype(jnp.int32)
 
         def comb(lo, hi):
             # the BLAS1 combination on an edge window (XLA; may differ from
             # the kernel's in-VPU FMA by one contraction ulp — same band as
             # the matvec boundary recompute)
-            return (jax.lax.slice(ac, (lo,), (hi,))
-                    + c1 * (jax.lax.slice(bc, (lo,), (hi,))
-                            + c2 * jax.lax.slice(cc, (lo,), (hi,))))
+            bw = jax.lax.slice(bc, (lo,), (hi,))
+            if cc is not None:
+                bw = bw + c2 * jax.lax.slice(cc, (lo,), (hi,))
+            return jax.lax.slice(ac, (lo,), (hi,)) + c1 * bw
 
         if ndev > 1 and not split:
             # scatter form (tiny shards): materialize p and reuse the plain
             # path — correct everywhere, just without the fold
-            p = ac + c1 * (bc + c2 * cc)
+            p = (ac + c1 * bc if cc is None
+                 else ac + c1 * (bc + c2 * cc))
             return p, msolve(gap_ext, d_pad, p)
         if ndev > 1:
             left_halo = jax.lax.ppermute(comb(block + s - wb, block + s),
@@ -745,7 +747,8 @@ def make_dist_bicgstab(a, mesh: Mesh,
 
                     plan = plan_const_neumann_layout(
                         part.terms, config.neumann_terms, part.c_grid,
-                        part.stride, prefer_mono=True)
+                        part.stride, prefer_mono=True,
+                        fuse_blas1=config.fuse_blas1)
                     if plan is not None and (plan[0] > part.sub
                                              or part.block > plan[1]):
                         try:
@@ -889,6 +892,7 @@ def make_dist_bicgstab(a, mesh: Mesh,
             # mono (const-d* composition) then per-triangle series.
             try:
                 from cuda_mat_tpu.ops.pallas_stencil import (
+                    FMA3_MSOLVE_EXTRA_BUFS, MSOLVE_EXTRA_BUFS,
                     compose_stencil_terms, const_factor_terms, msolve_halo,
                     neumann_poly_terms, stencil_vmem_block_cap,
                     strided_offsets)
@@ -922,19 +926,17 @@ def make_dist_bicgstab(a, mesh: Mesh,
                 hpad = msolve_halo(sts[1])
                 h_l = max(abs(o) for o, _ in sts[0])
                 w_k = h_l + hpad
-                if (w_k <= part.sub and w_k <= part.shard_rows
-                        and hpad <= part.block
-                        and (interpret or part.block <= stencil_vmem_block_cap(
-                            len(polys[0]) + len(polys[1]) + 4))):
+                n_poly = len(polys[0]) + len(polys[1])
+                if (hpad <= part.block
+                        and _fits(n_poly + MSOLVE_EXTRA_BUFS, w_k)):
                     from cuda_mat_tpu.ops.pallas_stencil import extend_gapmask
 
                     fac_mvs = [_make_local_msolve_kernel(
                         part, axis, interpret, sts[0], sts[1])]
-                    if config.fuse_blas1 and (
-                            interpret or part.block <= stencil_vmem_block_cap(
-                                len(polys[0]) + len(polys[1]) + 9)):
+                    if config.fuse_blas1 and _fits(
+                            n_poly + FMA3_MSOLVE_EXTRA_BUFS, w_k):
                         # BLAS1-prologue form (p-update / r1-production fold,
-                        # VERDICT r3 #5) — needs headroom for the two extra
+                        # VERDICT r3 #5) — needs headroom for the extra
                         # input streams + the p output in scoped VMEM
                         fac_mvs.append(_make_local_msolve_kernel(
                             part, axis, interpret, sts[0], sts[1], fma=True))
@@ -1092,7 +1094,7 @@ def make_dist_bicgstab(a, mesh: Mesh,
                 mfma = None
                 if len(fac_mvs) > 1:
                     kernel_fma = fac_mvs[1]
-                    mfma = (lambda a_, c1, b_, c2, c_:
+                    mfma = (lambda a_, c1, b_, c2=None, c_=None:
                             kernel_fma(gap_ext_l, d_pad_l, a_, c1, b_, c2,
                                        c_))
                 return precond_core(

@@ -227,21 +227,24 @@ class NeumannILUPreconditioner:
                 # cover P_l's window over the extended u region and both
                 # polynomials' VMEM working sets at once (layouts planned by
                 # plan_const_neumann_layout default to this)
-                from cuda_mat_tpu.ops.pallas_stencil import (extend_gapmask,
-                                                             msolve_halo)
+                from cuda_mat_tpu.ops.pallas_stencil import (
+                    FMA3_MSOLVE_EXTRA_BUFS, MSOLVE_EXTRA_BUFS,
+                    extend_gapmask, msolve_halo)
 
                 hpad = msolve_halo(fu.strided_terms)
                 h_l = max(abs(t[0]) for t in fl.strided_terms)
                 if (h_l + hpad <= pad_like.sub and hpad <= pad_like.block
                         and _vmem_fits(pad_like,
-                                       len(fl.terms) + len(fu.terms) + 4)):
+                                       len(fl.terms) + len(fu.terms)
+                                       + MSOLVE_EXTRA_BUFS)):
                     gap_ext = jnp.asarray(extend_gapmask(
                         np.asarray(pad_like.gapmask), hpad))
                     return cls(fl, fu, inv_d, terms, fused="kernel",
                                gap_ext=gap_ext,
                                fma_fits=_vmem_fits(
                                    pad_like,
-                                   len(fl.terms) + len(fu.terms) + 9))
+                                   len(fl.terms) + len(fu.terms)
+                                   + FMA3_MSOLVE_EXTRA_BUFS))
                 return cls(fl, fu, inv_d, terms, fused="series")
             return cls(nl, nu, inv_d, terms)
         if pad_like is not None:
@@ -299,10 +302,12 @@ class NeumannILUPreconditioner:
             x = x + term
         return x
 
-    def msolve_fma(self, a, c1, b, c2, c):
-        """``(p, M⁻¹ p)`` with ``p = a + c1·(b + c2·c)`` — the BLAS1 prologue
-        folded into the one-launch fused msolve kernel when it fits scoped
-        VMEM (``fused == "kernel"`` and :attr:`fma_fits`), else the XLA
+    def msolve_fma(self, a, c1, b, c2=None, c=None):
+        """``(p, M⁻¹ p)`` with ``p = a + c1·(b + c2·c)`` (or ``a + c1·b``
+        when ``c`` is None — the r1-production axpy, saving the dead
+        operand's HBM stream) — the BLAS1 prologue folded into the
+        one-launch fused msolve kernel when it fits scoped VMEM
+        (``fused == "kernel"`` and :attr:`fma_fits`), else the XLA
         combination + plain :meth:`msolve` (same math; the kernel's in-VPU
         FMA may differ from XLA's by one contraction ulp).  Solver hook:
         :func:`cuda_mat_tpu.solvers.bicgstab.precond_core` feeds the
@@ -316,7 +321,7 @@ class NeumannILUPreconditioner:
                 a, c1, b, c2, c, self.inv_d, self.gap_ext, op.strided_terms,
                 self.nu.strided_terms, op.np_true, op.block, op.sub,
                 op.interpret)
-        p = a + c1 * (b + c2 * c)
+        p = a + c1 * b if c is None else a + c1 * (b + c2 * c)
         return p, self.msolve(p)
 
 

@@ -195,7 +195,8 @@ def precond_core(matvec, msolve, dot, x0, b, tol, maxit, debug=False,
         if msolve_fma is None:
             r1 = st.r - alpha * v
         else:
-            r1, s = msolve_fma(st.r, -alpha, v, jnp.asarray(0.0, dt), st.v)
+            # two-stream form: r1 = r - alpha*v (no dead third operand)
+            r1, s = msolve_fma(st.r, -alpha, v)
         x1 = st.x + alpha * pw
         nrmr1 = jnp.sqrt(dot(r1, r1))
         if debug:
@@ -608,7 +609,8 @@ def solve(a, b, config: SolverConfig = DEFAULT_CONFIG,
                     ConstStencilOperator, plan_const_neumann_layout)
 
                 plan = plan_const_neumann_layout(
-                    op.terms, config.neumann_terms, op.c_grid, op.stride)
+                    op.terms, config.neumann_terms, op.c_grid, op.stride,
+                    fuse_blas1=config.fuse_blas1)
                 if plan is not None and (plan[0] > op.sub
                                          or op.block > plan[1]):
                     try:

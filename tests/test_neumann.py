@@ -276,6 +276,14 @@ def test_fma_msolve_matches_prologue_plus_kernel(rng):
             mask = np.asarray(op.pad_vec(np.ones(a.n))) == 0
             assert not np.asarray(p)[mask].any()
             assert not np.asarray(y)[mask].any()
+        # two-stream form (c=None — the r1-production axpy, no dead operand)
+        p3, y3 = pre.msolve_fma(av, c1, bv)
+        p3_ref = av + c1 * bv
+        np.testing.assert_allclose(np.asarray(p3), np.asarray(p3_ref),
+                                   rtol=5e-15, atol=5e-15)
+        np.testing.assert_allclose(np.asarray(y3),
+                                   np.asarray(pre.msolve(p3_ref)),
+                                   rtol=1e-12, atol=1e-12)
         # the XLA fallback (fma_fits=False) computes the identical math
         fb = dataclasses.replace(pre, fma_fits=False)
         p2, y2 = fb.msolve_fma(av, c1, bv, c2, cv)
@@ -283,6 +291,35 @@ def test_fma_msolve_matches_prologue_plus_kernel(rng):
                                    rtol=5e-15, atol=5e-15)
         np.testing.assert_allclose(np.asarray(y2), np.asarray(y),
                                    rtol=1e-12, atol=1e-12)
+
+
+def test_planner_sizes_block_for_fma_engagement():
+    """Regression (r4 review): the layout planner must size the block for
+    the BLAS1-prologue kernel's working set (FMA3_MSOLVE_EXTRA_BUFS), else
+    fma_fits is False on every planner-constrained real-TPU layout and
+    config.fuse_blas1 silently compiles the separate-axpy graph.  Layout
+    planning and from_csr are host-only, so interpret=False is exercised
+    off-TPU."""
+    from cuda_mat_tpu.models.problems import grid_laplacian
+    from cuda_mat_tpu.ops.pallas_stencil import (ConstStencilOperator,
+                                                 plan_const_neumann_layout)
+
+    a = grid_laplacian(1000, 100)    # 100k rows: npad 128000 > the VMEM cap
+    dia = a.to_dia(max_diags=16)
+    for k in (3, 4):
+        op = ConstStencilOperator.from_dia(dia, dtype=jnp.float32,
+                                           interpret=False)
+        plan = plan_const_neumann_layout(op.terms, k, op.c_grid, op.stride)
+        assert plan is not None
+        # the flagship configs ARE planner-constrained — that's the trap
+        assert op.block > plan[1], (k, op.block, plan)
+        op = ConstStencilOperator.from_dia(dia, dtype=jnp.float32,
+                                           interpret=False, min_sub=plan[0],
+                                           block_target=plan[1])
+        pre = NeumannILUPreconditioner.from_csr(a, dtype=jnp.float32,
+                                                terms=k, pad_like=op)
+        assert pre.fused == "kernel", (k, pre.fused)
+        assert pre.fma_fits, (k, op.block)
 
 
 def test_fuse_blas1_solve_matches_separate_axpys(rng):
