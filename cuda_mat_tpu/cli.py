@@ -59,10 +59,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ilu0_neumann on the stencil path: keep exact-pattern"
                         " restrided factors instead of the fused"
                         " interior-constant series (see BASELINE.md r3)")
-    p.add_argument("--no-fuse-blas1", action="store_true",
-                   help="disable folding the p-update/r1 axpys into the"
-                        " fused msolve kernel prologue (stencil"
-                        " ilu0_neumann path)")
+    p.add_argument("--fuse-blas1", action="store_true",
+                   help="fold the p-update/r1 axpys into the fused msolve"
+                        " kernel prologue (stencil ilu0_neumann path;"
+                        " measured e2e parity on the tunnel target —"
+                        " BASELINE.md r4)")
     p.add_argument("--maxit", type=int, default=2000)
     p.add_argument("--tol", type=float, default=1e-6)
     p.add_argument("--dtype", choices=["float32", "float64"], default=None,
@@ -172,7 +173,7 @@ def main(argv=None) -> int:
                        trisolve_block=args.trisolve_block,
                        reorder=args.reorder, neumann_terms=args.neumann_terms,
                        neumann_const_factors=not args.neumann_exact_factors,
-                       fuse_blas1=not args.no_fuse_blas1)
+                       fuse_blas1=args.fuse_blas1)
 
     x0 = None
     if args.resume:

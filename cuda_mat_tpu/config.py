@@ -72,10 +72,13 @@ class SolverConfig:
     # prologue (NeumannILUPreconditioner.msolve_fma: the kernel computes
     # p = r + β(p − ωv) in VMEM, writes it out, and applies M⁻¹ in the same
     # launch) — one fewer dispatch node and one fewer HBM write+read of p
-    # per application on the stencil ilu0_neumann path.  The in-kernel FMA
-    # may differ from the XLA axpy by one contraction ulp (f32 trajectory
-    # chaos band, BASELINE.md); set False to restore the separate-axpy body.
-    fuse_blas1: bool = True
+    # per application on the stencil ilu0_neumann path.  Measured e2e
+    # PARITY at 10M rows on the tunnel target (268.1 vs 268.4 ms median,
+    # BASELINE.md r4): the pass saved is offset by the fma kernel's smaller
+    # VMEM-capped block, so this defaults OFF; worth re-evaluating on
+    # non-tunnel hardware.  The in-kernel FMA differs from the XLA axpy by
+    # at most one contraction ulp (f32 trajectory chaos band).
+    fuse_blas1: bool = False
 
     def replace(self, **kw) -> "SolverConfig":
         return dataclasses.replace(self, **kw)

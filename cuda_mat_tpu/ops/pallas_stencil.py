@@ -1075,7 +1075,7 @@ FMA3_MSOLVE_EXTRA_BUFS = 9   # fma variant, p = a + c1*(b+c2*c) (3 streams)
 def plan_const_neumann_layout(terms, k: int, c_grid: int, stride: int,
                               prefer_mono: bool = False,
                               fuse_kernel: bool = True,
-                              fuse_blas1: bool = True):
+                              fuse_blas1: bool = False):
     """Symbolically expand the Neumann-series pattern on A's own offsets
     (ILU(0) factors share A's sparsity) and return
     ``(min_sub, block_target, terms_upper_bound)`` such that the fused

@@ -62,13 +62,13 @@ def test_cli_neumann_exact_factors(capsys):
     assert "iterations" in capsys.readouterr().out
 
 
-def test_cli_no_fuse_blas1(capsys):
-    """--no-fuse-blas1 disables the BLAS1-prologue msolve fold and still
+def test_cli_fuse_blas1(capsys):
+    """--fuse-blas1 enables the BLAS1-prologue msolve fold and still
     converges on the stencil ilu0_neumann path."""
     from cuda_mat_tpu.cli import main
 
     rc = main(["-M", "data/mat900.mtx", "--precond", "ilu0_neumann",
-               "--format", "stencil", "--no-fuse-blas1",
+               "--format", "stencil", "--fuse-blas1",
                "--platform", "cpu", "--x64"])
     assert rc == 0
     assert "iterations" in capsys.readouterr().out

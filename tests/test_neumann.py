@@ -309,7 +309,8 @@ def test_planner_sizes_block_for_fma_engagement():
     for k in (3, 4):
         op = ConstStencilOperator.from_dia(dia, dtype=jnp.float32,
                                            interpret=False)
-        plan = plan_const_neumann_layout(op.terms, k, op.c_grid, op.stride)
+        plan = plan_const_neumann_layout(op.terms, k, op.c_grid, op.stride,
+                                         fuse_blas1=True)
         assert plan is not None
         # the flagship configs ARE planner-constrained — that's the trap
         assert op.block > plan[1], (k, op.block, plan)
