@@ -22,12 +22,14 @@ for fuse, cfg in cfgs.items():
     r = solve(a, b, cfg)                  # compile
     print(f"compiled fuse={fuse}: iters={r.iters}", flush=True)
 ts = {False: [], True: []}
+it = {}
 for rep in range(5):
     for fuse, cfg in cfgs.items():
         r = solve(a, b, cfg)
         ts[fuse].append(r.dt_alg)
+        it[fuse] = r.iters
 for fuse in (False, True):
     t = sorted(ts[fuse])
-    print(f"fuse_blas1={fuse}: iters={r.iters} "
+    print(f"fuse_blas1={fuse}: iters={it[fuse]} "
           f"dtAlg(ms)={[round(x * 1e3, 1) for x in t]} "
           f"median={t[len(t) // 2] * 1e3:.1f}", flush=True)
