@@ -59,6 +59,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ilu0_neumann on the stencil path: keep exact-pattern"
                         " restrided factors instead of the fused"
                         " interior-constant series (see BASELINE.md r3)")
+    p.add_argument("--milu-omega", type=float, default=0.0,
+                   help="relaxed modified-ILU(0) for --precond ilu0_neumann:"
+                        " omega x dropped fill subtracted from the diagonal"
+                        " (0 = reference-parity ILU(0); ~0.97 cuts"
+                        " iterations ~30%% on the Laplacian family)")
     p.add_argument("--fuse-blas1", action="store_true",
                    help="fold the p-update/r1 axpys into the fused msolve"
                         " kernel prologue (stencil ilu0_neumann path;"
@@ -173,7 +178,8 @@ def main(argv=None) -> int:
                        trisolve_block=args.trisolve_block,
                        reorder=args.reorder, neumann_terms=args.neumann_terms,
                        neumann_const_factors=not args.neumann_exact_factors,
-                       fuse_blas1=args.fuse_blas1)
+                       fuse_blas1=args.fuse_blas1,
+                       milu_omega=args.milu_omega)
 
     x0 = None
     if args.resume:

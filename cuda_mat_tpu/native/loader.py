@@ -49,6 +49,9 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.cmt_ilu0.restype = ll
     lib.cmt_ilu0.argtypes = [ll, ctypes.c_void_p, ctypes.c_void_p,
                              ctypes.c_void_p]
+    lib.cmt_milu0.restype = ll
+    lib.cmt_milu0.argtypes = [ll, ctypes.c_void_p, ctypes.c_void_p,
+                              ctypes.c_void_p, ctypes.c_double]
 
 
 def available() -> bool:
@@ -98,4 +101,23 @@ def ilu0_factorize(csr) -> np.ndarray:
                       m.ctypes.data_as(ctypes.c_void_p))
     if rc != 0:
         raise ValueError(f"native ILU(0) failed (zero/missing diagonal at row {rc - 1})")
+    return m
+
+
+def milu0_factorize(csr, omega: float) -> np.ndarray:
+    """Native relaxed modified-ILU(0): ``omega`` times the dropped fill of
+    each row is subtracted from its diagonal (omega=1 preserves A's row
+    sums; omega=0 degenerates to plain ILU(0))."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built")
+    m = csr.data.astype(np.float64).copy()
+    rc = lib.cmt_milu0(ctypes.c_longlong(csr.n),
+                       csr.indptr.ctypes.data_as(ctypes.c_void_p),
+                       csr.indices.ctypes.data_as(ctypes.c_void_p),
+                       m.ctypes.data_as(ctypes.c_void_p),
+                       ctypes.c_double(omega))
+    if rc != 0:
+        raise ValueError(
+            f"native MILU(0) failed (zero/missing diagonal at row {rc - 1})")
     return m

@@ -184,20 +184,25 @@ void cmt_mm_fill_csr(void* handle, void* data, void* indices, void* indptr) {
 
 void cmt_mm_close(void* handle) { delete static_cast<CsrHandle*>(handle); }
 
-// ILU(0): in-place on mvals (a copy of the CSR values), same row-wise IKJ
-// elimination restricted to the pattern as the Python oracle
-// (cuda_mat_tpu/reference/cpu_solvers.py ilu0_factorize).
+}  // extern "C"
+
+// ILU(0) / MILU(0): in-place on mvals (a copy of the CSR values), same
+// row-wise IKJ elimination restricted to the pattern as the Python oracle
+// (cuda_mat_tpu/reference/cpu_solvers.py ilu0_factorize).  With omega != 0,
+// the update terms that fall OUTSIDE the pattern ("dropped fill") are
+// accumulated per row and omega times their sum is subtracted from the
+// row's diagonal — the classic modified-ILU row-sum correction (omega = 1
+// preserves A's row sums exactly; 0 < omega < 1 is relaxed MILU, which
+// conditions the Laplacian family far better than plain ILU(0) while
+// keeping the factor diagonally dominant enough for the truncated Neumann
+// series — measured sweeps in BASELINE.md r4).
 // Returns 0 on success, (row+1) if a diagonal entry is missing, or (k+1)
 // when pivot k is zero at the moment it is used.  The pivot check must be
 // lazy, not eager: a stored-zero diagonal can become nonzero during
 // elimination before any row uses it (mat3.mtx row 1 is exactly this case,
 // and the reference factorizes it fine).
-int64_t cmt_ilu0(int64_t n, const void* indptr_v, const void* indices_v,
-                 void* mvals_v) {
-  const int32_t* indptr = static_cast<const int32_t*>(indptr_v);
-  const int32_t* indices = static_cast<const int32_t*>(indices_v);
-  double* m = static_cast<double*>(mvals_v);
-
+static int64_t ilu0_impl(int64_t n, const int32_t* indptr,
+                         const int32_t* indices, double* m, double omega) {
   std::vector<int64_t> diag(n);
   for (int64_t i = 0; i < n; ++i) {
     const int32_t lo = indptr[i], hi = indptr[i + 1];
@@ -209,24 +214,48 @@ int64_t cmt_ilu0(int64_t n, const void* indptr_v, const void* indices_v,
   }
   for (int64_t i = 0; i < n; ++i) {
     const int32_t lo = indptr[i], hi = indptr[i + 1];
+    double dropped = 0.0;
     for (int32_t kk = lo; kk < static_cast<int32_t>(diag[i]); ++kk) {
       const int32_t k = indices[kk];
       const double pivot = m[diag[k]];
       if (pivot == 0.0) return k + 1;
       const double lik = m[kk] / pivot;
       m[kk] = lik;
-      // subtract lik * U(k, j) for j > k present in row i's tail
+      // subtract lik * U(k, j) for j > k present in row i's tail; with
+      // MILU, sum the terms for absent j instead of silently dropping them
       const int32_t klo = static_cast<int32_t>(diag[k]) + 1;
       const int32_t khi = indptr[k + 1];
       int32_t ti = kk + 1;  // row i tail cursor (sorted)
-      for (int32_t kj = klo; kj < khi && ti < hi; ++kj) {
+      for (int32_t kj = klo; kj < khi; ++kj) {
         const int32_t col = indices[kj];
         while (ti < hi && indices[ti] < col) ++ti;
-        if (ti < hi && indices[ti] == col) m[ti] -= lik * m[kj];
+        if (ti < hi && indices[ti] == col) {
+          m[ti] -= lik * m[kj];
+        } else {
+          if (omega == 0.0 && ti >= hi) break;  // nothing left to match
+          dropped += lik * m[kj];
+        }
       }
     }
+    if (omega != 0.0) m[diag[i]] -= omega * dropped;
   }
   return 0;
+}
+
+extern "C" {
+
+int64_t cmt_ilu0(int64_t n, const void* indptr_v, const void* indices_v,
+                 void* mvals_v) {
+  return ilu0_impl(n, static_cast<const int32_t*>(indptr_v),
+                   static_cast<const int32_t*>(indices_v),
+                   static_cast<double*>(mvals_v), 0.0);
+}
+
+int64_t cmt_milu0(int64_t n, const void* indptr_v, const void* indices_v,
+                  void* mvals_v, double omega) {
+  return ilu0_impl(n, static_cast<const int32_t*>(indptr_v),
+                   static_cast<const int32_t*>(indices_v),
+                   static_cast<double*>(mvals_v), omega);
 }
 
 }  // extern "C"

@@ -875,7 +875,7 @@ def make_dist_bicgstab(a, mesh: Mesh,
                 f" factorization runs on the CSR pattern); got {type(a).__name__}")
         from cuda_mat_tpu.precond.preconditioners import neumann_factors
 
-        low, up, diag_m = neumann_factors(a)
+        low, up, diag_m = neumann_factors(a, config.milu_omega)
         fac_args = []
         fac_specs = []
         fac_slices = []

@@ -158,7 +158,8 @@ class NeumannILUPreconditioner:
     def from_csr(cls, csr, dtype=jnp.float32, terms: int = 3,
                  engine: str = "auto", pad_like=None,
                  const_factors: bool = True,
-                 prefer_mono: bool = False) -> "NeumannILUPreconditioner":
+                 prefer_mono: bool = False,
+                 milu_omega: float = 0.0) -> "NeumannILUPreconditioner":
         """``pad_like``: a :class:`PallasDIAOperator` for A — build N_l/N_u as
         Pallas operators in the *same padded layout*, so the whole msolve maps
         padded→padded vectors at kernel bandwidth (zero pads are a fixed point
@@ -177,7 +178,7 @@ class NeumannILUPreconditioner:
         of a constant stencil is near-Toeplitz away from the boundary')."""
         from cuda_mat_tpu.ops.operators import make_operator
 
-        low, up, diag = neumann_factors(csr)
+        low, up, diag = neumann_factors(csr, milu_omega)
         if pad_like is not None and hasattr(pad_like, "stride") \
                 and const_factors:
             nl = _const_factor_operator(low, pad_like)
@@ -404,17 +405,22 @@ def _const_factor_operator(factor_csr, pad_like):
     return _dc.replace(pad_like, terms=terms, strided_terms=sterms)
 
 
-def neumann_factors(csr):
+def neumann_factors(csr, milu_omega: float = 0.0):
     """ILU(0)-factorize ``csr`` and split the factor for the Neumann series:
     returns ``(N_l, N_u, diag)`` where ``N_l`` is the strict lower triangle of
     M (unit-lower L = I + N_l), ``N_u`` is D⁻¹·strict-upper (U = D(I + N_u)),
     both as host :class:`CSRMatrix`, and ``diag`` is D.  Shared by the
     single-chip :class:`NeumannILUPreconditioner` and the distributed
-    row-partitioned path (reference msolve role: pbicgstab.cu:92-98)."""
+    row-partitioned path (reference msolve role: pbicgstab.cu:92-98).
+
+    ``milu_omega`` > 0 switches to relaxed modified ILU(0)
+    (:func:`milu0_factorize`) — a beyond-reference option that cuts
+    iteration counts substantially on the Laplacian family (BASELINE.md
+    r4); 0 (default) keeps the reference-parity ILU(0) factor."""
     from cuda_mat_tpu.formats.coo import COOMatrix
     from cuda_mat_tpu.formats.csr import CSRMatrix
 
-    mvals = _factorize(csr)
+    mvals = _factorize(csr, milu_omega)
     rows = np.repeat(np.arange(csr.n, dtype=np.int64), csr.row_lengths)
     cols = csr.indices.astype(np.int64)
     lower = cols < rows
@@ -436,19 +442,72 @@ def neumann_factors(csr):
     return low, up, diag
 
 
-def _factorize(csr) -> np.ndarray:
+def _factorize(csr, milu_omega: float = 0.0) -> np.ndarray:
     try:
         from cuda_mat_tpu.native import loader as _native
 
         if _native.available():
+            if milu_omega:
+                return _native.milu0_factorize(csr, milu_omega)
             return _native.ilu0_factorize(csr)
     except ImportError:
         pass
+    if milu_omega:
+        return milu0_factorize(csr, milu_omega)
     return ilu0_factorize(csr)
 
 
+def milu0_factorize(csr, omega: float) -> np.ndarray:
+    """Relaxed modified ILU(0) (pure-numpy fallback; the native
+    ``cmt_milu0`` agrees to accumulation-order ulps — the dropped-fill sum
+    is a reduction): the IKJ elimination of
+    :func:`~cuda_mat_tpu.reference.cpu_solvers.ilu0_factorize` restricted
+    to the pattern, but each row's *dropped* fill (update terms at
+    positions outside the pattern) is summed and ``omega`` times it is
+    subtracted from the row's diagonal.  ``omega=1`` preserves A's row
+    sums through L·U (classic MILU — O(h⁻¹) conditioning on the Laplacian
+    family vs ILU(0)'s O(h⁻²)); ``0 < omega < 1`` is relaxed MILU, which
+    keeps the factor diagonally dominant enough for the truncated Neumann
+    series (BASELINE.md r4 sweeps: omega≈0.97 best)."""
+    n = csr.n
+    m = csr.data.astype(np.float64).copy()
+    indptr, indices = csr.indptr, csr.indices
+    diag_pos = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        lo, hi = indptr[i], indptr[i + 1]
+        js = indices[lo:hi]
+        k = np.searchsorted(js, i)
+        if k >= js.shape[0] or js[k] != i:
+            raise ValueError(
+                f"MILU(0) requires a stored nonzero diagonal (row {i})")
+        diag_pos[i] = lo + k
+    for i in range(n):
+        lo, hi = indptr[i], indptr[i + 1]
+        dropped = 0.0
+        for kk in range(lo, int(diag_pos[i])):
+            k = indices[kk]
+            pivot = m[diag_pos[k]]
+            if pivot == 0.0:
+                raise ValueError(f"MILU(0) zero pivot at row {k}")
+            m[kk] = m[kk] / pivot
+            lik = m[kk]
+            klo, khi = int(diag_pos[k]) + 1, indptr[k + 1]
+            if klo >= khi:
+                continue
+            row_i_js = indices[kk + 1:hi]
+            row_k_js = indices[klo:khi]
+            pos = np.searchsorted(row_i_js, row_k_js)
+            ok = pos < row_i_js.shape[0]
+            ok[ok] &= row_i_js[pos[ok]] == row_k_js[ok]
+            upd = lik * m[klo:khi]
+            m[kk + 1 + pos[ok]] -= upd[ok]
+            dropped += float(upd[~ok].sum())
+        m[diag_pos[i]] -= omega * dropped
+    return m
+
+
 def make_preconditioner(kind: str, csr, block: int = 256, dtype=jnp.float64,
-                        terms: int = 3):
+                        terms: int = 3, milu_omega: float = 0.0):
     if kind in (None, "none", "identity"):
         return IdentityPreconditioner()
     if kind == "jacobi":
@@ -456,5 +515,7 @@ def make_preconditioner(kind: str, csr, block: int = 256, dtype=jnp.float64,
     if kind == "ilu0":
         return ILU0Preconditioner.from_csr(csr, block=block, dtype=dtype)
     if kind == "ilu0_neumann":
-        return NeumannILUPreconditioner.from_csr(csr, dtype=dtype, terms=terms)
+        return NeumannILUPreconditioner.from_csr(csr, dtype=dtype,
+                                                 terms=terms,
+                                                 milu_omega=milu_omega)
     raise ValueError(f"unknown preconditioner {kind!r}")

@@ -623,18 +623,21 @@ def solve(a, b, config: SolverConfig = DEFAULT_CONFIG,
             try:
                 pre = NeumannILUPreconditioner.from_csr(
                     a, dtype=dt, terms=config.neumann_terms, pad_like=op,
-                    const_factors=config.neumann_const_factors)
+                    const_factors=config.neumann_const_factors,
+                    milu_omega=config.milu_omega)
             except ValueError:
                 op = make_operator(a, dtype=dt, format=None)
                 padded = False
                 pre = make_preconditioner(config.precond, a,
                                           block=config.trisolve_block,
                                           dtype=dt,
-                                          terms=config.neumann_terms)
+                                          terms=config.neumann_terms,
+                                          milu_omega=config.milu_omega)
         else:
             pre = make_preconditioner(config.precond, a,
                                       block=config.trisolve_block, dtype=dt,
-                                      terms=config.neumann_terms)
+                                      terms=config.neumann_terms,
+                                      milu_omega=config.milu_omega)
     else:
         pre = IdentityPreconditioner()
     if padded:

@@ -760,3 +760,20 @@ def test_dist_stencil_neumann_exact_pattern_factors(grid, rng):
     assert r.converged
     rel = np.linalg.norm(b - grid.matvec(r.x)) / np.linalg.norm(b)
     assert rel < 1e-5
+
+
+@needs_8
+def test_dist_milu_omega_matches_single_chip(grid, rng):
+    """milu_omega flows through the distributed factor path
+    (neumann_factors in make_dist_bicgstab) and tracks the single-chip
+    trajectory."""
+    from cuda_mat_tpu.solvers.bicgstab import solve
+
+    b = np.ones(grid.n)
+    cfg = SolverConfig(maxit=2000, tol=1e-8, precond="ilu0_neumann",
+                       neumann_terms=3, milu_omega=0.97)
+    r_d = dist_bicgstab(grid, b, make_mesh(8), cfg, local_engine="stencil")
+    r_s = solve(grid, b, cfg, format="stencil")
+    assert r_d.converged and r_s.converged
+    assert abs(r_d.iters - r_s.iters) <= max(3, 0.15 * r_s.iters)
+    np.testing.assert_allclose(r_d.x, r_s.x, rtol=1e-6, atol=1e-8)
