@@ -208,6 +208,17 @@ def main():
                 solve_10m_refined_ms=round(rr10.dt_alg * 1e3, 1),
                 solve_10m_refined_iters=rr10.iters,
                 solve_10m_refined_status=rr10.status.name)
+            # relaxed-MILU arm (beyond-reference preconditioner option,
+            # r4): same compiled graph as cfg10 — only the factor values
+            # change — so this costs one setup, no extra compile.
+            # Interleaved A/B on this config: 267.3 -> 210.8 ms @ 71 -> 52
+            # iterations (BASELINE.md r4)
+            cfg10m = cfg10.replace(milu_omega=0.97)
+            solve(a10, b10, cfg10m)              # setup + warm path
+            r10m = solve(a10, b10, cfg10m)       # warm
+            info.update(solve_10m_milu_ms=round(r10m.dt_alg * 1e3, 1),
+                        solve_10m_milu_iters=r10m.iters,
+                        solve_10m_milu_status=r10m.status.name)
         except Exception as e:
             info["solve_10m_error"] = repr(e)[:200]
 
@@ -248,7 +259,8 @@ def main():
     }
     # solve-level metrics ride in the same line so the driver records them
     for k in ("stencil_nnz_per_s", "stencil_vs_dia", "solve_1m_ms",
-              "solve_10m_ms", "solve_10m_refined_rel_residual",
+              "solve_10m_ms", "solve_10m_milu_ms",
+              "solve_10m_refined_rel_residual",
               "solve_10m_refined_ms", "refined_rel_residual", "refined_ms",
               "mat10000_dt_alg_ms", "mat10000_refined_rel_residual",
               "mat10000_refined_ms", "dist_stencil_1m_ms",
