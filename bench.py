@@ -219,6 +219,17 @@ def main():
             info.update(solve_10m_milu_ms=round(r10m.dt_alg * 1e3, 1),
                         solve_10m_milu_iters=r10m.iters,
                         solve_10m_milu_status=r10m.status.name)
+            # the reference-protocol (tol=1e-6 true-f64) headline with the
+            # MILU factors: fewer inner iterations per restart, same
+            # compiled graph
+            rrm = solve_refined(a10, b10, cfg10m.replace(tol=1e-6),
+                                inner_tol=1e-4)
+            info.update(
+                solve_10m_milu_refined_rel_residual=float(
+                    rrm.residual / rrm.residual0),
+                solve_10m_milu_refined_ms=round(rrm.dt_alg * 1e3, 1),
+                solve_10m_milu_refined_iters=rrm.iters,
+                solve_10m_milu_refined_status=rrm.status.name)
         except Exception as e:
             info["solve_10m_error"] = repr(e)[:200]
 
@@ -260,6 +271,8 @@ def main():
     # solve-level metrics ride in the same line so the driver records them
     for k in ("stencil_nnz_per_s", "stencil_vs_dia", "solve_1m_ms",
               "solve_10m_ms", "solve_10m_milu_ms",
+              "solve_10m_milu_refined_rel_residual",
+              "solve_10m_milu_refined_ms",
               "solve_10m_refined_rel_residual",
               "solve_10m_refined_ms", "refined_rel_residual", "refined_ms",
               "mat10000_dt_alg_ms", "mat10000_refined_rel_residual",
