@@ -66,10 +66,13 @@ class ILU0Preconditioner:
 
     @classmethod
     def from_csr(cls, csr, block: int = 256, dtype=jnp.float64,
-                 engine: str = "auto") -> "ILU0Preconditioner":
+                 engine: str = "auto",
+                 milu_omega: float = 0.0) -> "ILU0Preconditioner":
         """``engine``: "blocked" = generic fori_loop solver; "pallas_banded" =
         single-launch Pallas kernel (banded factors only); "auto" = Pallas on
-        a TPU backend when the band fits the block, else blocked."""
+        a TPU backend when the band fits the block, else blocked.
+        ``milu_omega``: relaxed modified-ILU(0) factor values
+        (:func:`milu0_factorize`); 0 = reference-parity ILU(0)."""
         # Both trisolve engines precompute per-block inverses: O(n*B) floats.
         # Refuse configurations that would silently eat gigabytes at setup
         # (a 1M-row, B=1024 factor is ~8 GB of inverses and minutes of host
@@ -83,7 +86,7 @@ class ILU0Preconditioner:
                 f" GiB of block inverses (n={csr.n}, block={block}); use"
                 f" precond='jacobi', solve_refined, or the distributed"
                 f" bjacobi_ilu0 for systems this large")
-        mvals = _factorize(csr)
+        mvals = _factorize(csr, milu_omega)
         if engine == "auto":
             engine = "blocked"
             if jax.default_backend() == "tpu" and block <= 512:
@@ -513,7 +516,8 @@ def make_preconditioner(kind: str, csr, block: int = 256, dtype=jnp.float64,
     if kind == "jacobi":
         return JacobiPreconditioner.from_csr(csr, dtype=dtype)
     if kind == "ilu0":
-        return ILU0Preconditioner.from_csr(csr, block=block, dtype=dtype)
+        return ILU0Preconditioner.from_csr(csr, block=block, dtype=dtype,
+                                           milu_omega=milu_omega)
     if kind == "ilu0_neumann":
         return NeumannILUPreconditioner.from_csr(csr, dtype=dtype,
                                                  terms=terms,

@@ -584,7 +584,8 @@ def solve(a, b, config: SolverConfig = DEFAULT_CONFIG,
 
             pre = PaddedPreconditioner(
                 make_preconditioner("ilu0", a, block=config.trisolve_block,
-                                    dtype=dt), op)
+                                    dtype=dt,
+                                    milu_omega=config.milu_omega), op)
         elif padded and config.precond == "jacobi":
             from cuda_mat_tpu.precond.preconditioners import JacobiPreconditioner
 
