@@ -60,7 +60,8 @@ def build_parser() -> argparse.ArgumentParser:
                         " restrided factors instead of the fused"
                         " interior-constant series (see BASELINE.md r3)")
     p.add_argument("--milu-omega", type=float, default=0.0,
-                   help="relaxed modified-ILU(0) for --precond ilu0_neumann:"
+                   help="relaxed modified-ILU(0) factor values for the"
+                        " ilu0 / ilu0_neumann / bjacobi_ilu0 preconditioners:"
                         " omega x dropped fill subtracted from the diagonal"
                         " (0 = reference-parity ILU(0); ~0.97 cuts"
                         " iterations ~30%% on the Laplacian family)")

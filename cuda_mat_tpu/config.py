@@ -54,9 +54,10 @@ class SolverConfig:
     # traffic; perturbs the preconditioner only in a boundary layer).
     # False = exact-pattern factors restrided into the stencil layout.
     neumann_const_factors: bool = True
-    # relaxed modified-ILU(0) for precond="ilu0_neumann": omega times each
-    # row's dropped fill is subtracted from its diagonal (omega=1 preserves
-    # A's row sums — classic MILU).  0 (default) = reference-parity ILU(0).
+    # relaxed modified-ILU(0) factor values for the ilu0 / ilu0_neumann /
+    # bjacobi_ilu0 preconditioners: omega times each row's dropped fill is
+    # subtracted from its diagonal (omega=1 preserves A's row sums —
+    # classic MILU).  0 (default) = reference-parity ILU(0).
     # On the Laplacian family omega~0.97 cuts BiCGSTAB iterations ~30% at
     # 100k rows and more at scale (O(h^-1) vs O(h^-2) conditioning); the
     # truncated Neumann series needs omega < 1 to keep the factor

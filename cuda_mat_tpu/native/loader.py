@@ -29,7 +29,11 @@ def _load() -> Optional[ctypes.CDLL]:
             lib = ctypes.CDLL(_LIB_PATH)
             _configure(lib)
             _lib = lib
-        except OSError:
+        except (OSError, AttributeError):
+            # AttributeError = a stale prebuilt .so missing a newer symbol
+            # (e.g. cmt_milu0): treat exactly like an unbuilt library so
+            # every caller falls back to the pure-Python paths instead of
+            # crashing (rebuild with `make -C cuda_mat_tpu/native`)
             _load_failed = True
     return _lib
 

@@ -231,9 +231,10 @@ static int64_t ilu0_impl(int64_t n, const int32_t* indptr,
         while (ti < hi && indices[ti] < col) ++ti;
         if (ti < hi && indices[ti] == col) {
           m[ti] -= lik * m[kj];
-        } else {
-          if (omega == 0.0 && ti >= hi) break;  // nothing left to match
+        } else if (omega != 0.0) {
           dropped += lik * m[kj];
+        } else if (ti >= hi) {
+          break;  // plain ILU(0): nothing left to match in row i's tail
         }
       }
     }

@@ -45,20 +45,22 @@ def _local_block_csr(part: RowPartitionedBanded, shard: int) -> CSRMatrix:
 
 
 def build_block_jacobi_ilu(part: RowPartitionedBanded, trisolve_block: int,
-                           dtype) -> Tuple[np.ndarray, ...]:
+                           dtype, milu_omega: float = 0.0
+                           ) -> Tuple[np.ndarray, ...]:
     """Per-shard ILU(0) + blocked-trisolve setup, stacked on a leading shard
     axis so shard_map can split it.
 
     Returns (w_lo, vals_lo, cols_lo, w_up, vals_up, cols_up) with shapes
     ``(ndev, nb, B, B)`` / ``(ndev, nb, B, K)`` — K padded to the max across
-    shards.
+    shards.  ``milu_omega``: relaxed modified-ILU(0) factor values per shard
+    (see :func:`cuda_mat_tpu.precond.preconditioners.milu0_factorize`).
     """
     from cuda_mat_tpu.precond.preconditioners import _factorize
 
     per_shard = []
     for s in range(part.ndev):
         local = _local_block_csr(part, s)
-        mvals = _factorize(local)
+        mvals = _factorize(local, milu_omega)
         lo = _block_setup_tri(local, mvals, trisolve_block, lower=True)
         up = _block_setup_tri(local, mvals, trisolve_block, lower=False)
         per_shard.append((lo, up))

@@ -1039,7 +1039,8 @@ def make_dist_bicgstab(a, mesh: Mesh,
             build_block_jacobi_ilu, local_solver_from_stacked)
 
         tb = min(config.trisolve_block, part.shard_rows)
-        stacked = build_block_jacobi_ilu(part, tb, dt)
+        stacked = build_block_jacobi_ilu(part, tb, dt,
+                                         milu_omega=config.milu_omega)
         shard_leading = NamedSharding(mesh, P(axis))
         tri_stacked = tuple(put_global(np.asarray(s), shard_leading)
                             for s in stacked)

@@ -127,3 +127,21 @@ def test_native_roundtrip_written_file(tmp_path):
     write_mm(str(p), a)
     nat = native.load_mm_sparse_matrix(str(p))
     np.testing.assert_allclose(nat.to_dense(), a.to_dense())
+
+
+def test_stale_library_degrades_to_unavailable(monkeypatch):
+    """A prebuilt .so missing a newer symbol raises AttributeError during
+    _configure; the loader must treat that like an unbuilt library (regress:
+    available() crashed instead of returning False, killing the documented
+    pure-Python fallback for every caller)."""
+    from cuda_mat_tpu.native import loader
+
+    def boom(lib):
+        raise AttributeError("undefined symbol: cmt_somethingnew")
+
+    monkeypatch.setattr(loader, "_lib", None)
+    monkeypatch.setattr(loader, "_load_failed", False)
+    monkeypatch.setattr(loader, "_configure", boom)
+    assert loader.available() is False
+    # and the failure is sticky (no re-raise on later calls)
+    assert loader.available() is False
