@@ -234,8 +234,12 @@ def main(argv=None) -> int:
         if res.residual_true is not None:
             # recomputed ||b - A x|| in f64 on the host — the recursive
             # residual above drifts optimistic in f32 (BASELINE.md)
-            print(f"true relative residual = "
-                  f"{res.residual_true / res.residual0:.3e}")
+            rel_true = res.residual_true / res.residual0
+            print(f"true relative residual = {rel_true:.3e}")
+            if not args.refine and rel_true > 10 * cfg.tol:
+                print(f"note: the true residual misses tol={cfg.tol:.0e} "
+                      f"(f32 recursive-residual drift); rerun with --refine "
+                      f"for f64-grade accuracy at f32 speed")
         print(f"algorithm delta time = {res.dt_alg:.6f} s")
         print(f"setup time (operator+precond) = {res.dt_setup:.6f} s")
         print(f"total delta time = {t_total:.6f} s")

@@ -72,3 +72,15 @@ def test_cli_fuse_blas1(capsys):
                "--platform", "cpu", "--x64"])
     assert rc == 0
     assert "iterations" in capsys.readouterr().out
+
+
+def test_cli_hints_refine_when_true_residual_misses(capsys, monkeypatch):
+    """When the recursive residual converges but the f64 true residual
+    misses tol by >10x (f32 drift), the CLI points at --refine."""
+    from cuda_mat_tpu.cli import main
+
+    rc = main(["-M", "data/mat10000.mtx", "--dtype", "float32",
+               "--tol", "1e-6", "--platform", "cpu"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "rerun with --refine" in out
