@@ -32,6 +32,8 @@ from cuda_mat_tpu.solvers.bicgstab import (
     bicgstab,
     bicgstab_split,
     bicgstab_lu_precond,
+    make_solver,
+    PreparedSolver,
     solve,
 )
 from cuda_mat_tpu.solvers.bicg import bicg
@@ -56,6 +58,8 @@ __all__ = [
     "bicgstab_split",
     "bicgstab_lu_precond",
     "solve",
+    "make_solver",
+    "PreparedSolver",
     "solve_refined",
     "bicg",
     "SolverConfig",

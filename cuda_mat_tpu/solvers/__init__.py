@@ -5,6 +5,8 @@ from cuda_mat_tpu.solvers.bicgstab import (
     bicgstab,
     bicgstab_split,
     bicgstab_lu_precond,
+    make_solver,
+    PreparedSolver,
     solve,
 )
 from cuda_mat_tpu.solvers.bicg import bicg
@@ -18,5 +20,7 @@ __all__ = [
     "bicgstab_lu_precond",
     "bicg",
     "solve",
+    "make_solver",
+    "PreparedSolver",
     "solve_refined",
 ]
