@@ -88,6 +88,15 @@ class SolverConfig:
     # non-tunnel hardware.  The in-kernel FMA differs from the XLA axpy by
     # at most one contraction ulp (f32 trajectory chaos band).
     fuse_blas1: bool = False
+    # Reference parity: convergence is tested after EACH half-iteration of
+    # the preconditioned loop (reference pbicgstab.cu:116,147).  False =
+    # test only after full iterations: the first-half dot + sqrt + compare
+    # and the ~4 selects guarding the dead half-iteration drop out of the
+    # loop body — a node-count lever for the dispatch-bound tunnel target.
+    # Trajectory-identical except at the exit (a first-half exit becomes a
+    # completed iteration; the residual only gets smaller).  Keep True for
+    # exact reference trajectory/iteration-count parity.
+    check_halves: bool = True
 
     def replace(self, **kw) -> "SolverConfig":
         return dataclasses.replace(self, **kw)

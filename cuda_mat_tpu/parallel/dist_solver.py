@@ -1053,6 +1053,7 @@ def make_dist_bicgstab(a, mesh: Mesh,
     from cuda_mat_tpu.solvers.bicgstab import effective_debug
 
     maxit, debug = config.maxit, effective_debug(config.debug)
+    check_halves = config.check_halves
     nterms = config.neumann_terms
     n_mat = len(mat_args)
     n_tri = len(tri_stacked)
@@ -1072,7 +1073,8 @@ def make_dist_bicgstab(a, mesh: Mesh,
         mv = make_mv(mat_l)
         if mode == "jacobi":
             return precond_core(mv, lambda f: inv_diag_l * f, dot, x0_l, b_l,
-                                tol_, maxit, debug)
+                                tol_, maxit, debug,
+                                check_halves=check_halves)
         if mode == "bjacobi_ilu0":
             tri = local_solver_from_stacked(*tri_l, part.shard_rows, tb)
             msolve_b = tri.msolve
@@ -1087,7 +1089,7 @@ def make_dist_bicgstab(a, mesh: Mesh,
                         f, (carry_block,), (carry_block + s_,))),
                         (carry_block, carry_block))
             return precond_core(mv, msolve_b, dot, x0_l, b_l, tol_, maxit,
-                                debug)
+                                debug, check_halves=check_halves)
         if mode == "ilu0_neumann":
             if fac_fused == "kernel":
                 kernel_mv = fac_mvs[0]
@@ -1100,11 +1102,13 @@ def make_dist_bicgstab(a, mesh: Mesh,
                                        c_))
                 return precond_core(
                     mv, lambda f: kernel_mv(gap_ext_l, d_pad_l, f), dot,
-                    x0_l, b_l, tol_, maxit, debug, msolve_fma=mfma)
+                    x0_l, b_l, tol_, maxit, debug, msolve_fma=mfma,
+                    check_halves=check_halves)
             if fac_fused == "mono":
                 mono_mv = fac_mvs[0]
                 return precond_core(mv, lambda f: mono_mv(mat_l[0], f), dot,
-                                    x0_l, b_l, tol_, maxit, debug)
+                                    x0_l, b_l, tol_, maxit, debug,
+                                    check_halves=check_halves)
             if fac_fused:
                 pl_mv, pu_mv = fac_mvs
 
@@ -1114,7 +1118,8 @@ def make_dist_bicgstab(a, mesh: Mesh,
                     return pu_mv(mat_l[0], inv_diag_l * pl_mv(mat_l[0], f))
 
                 return precond_core(mv, msolve_fused, dot, x0_l, b_l, tol_,
-                                    maxit, debug)
+                                    maxit, debug,
+                                    check_halves=check_halves)
             nl_data = fac_l[fac_slices[0]]
             nu_data = fac_l[fac_slices[1]]
             nl_mv, nu_mv = fac_mvs
@@ -1138,7 +1143,7 @@ def make_dist_bicgstab(a, mesh: Mesh,
                 return x
 
             return precond_core(mv, msolve, dot, x0_l, b_l, tol_, maxit,
-                                debug)
+                                debug, check_halves=check_halves)
         return hform_core(mv, dot, x0_l, b_l, tol_, btol_, maxit, debug)
 
     return DistBicgstabSolver(a, part, run, mat_args, inv_diag, tol, btol,
