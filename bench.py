@@ -209,8 +209,12 @@ def main():
                     mat10000_dt_alg_ms=round(res.dt_alg * 1e3, 2),
                     mat10000_status=res.status.name)
         # tunnel-drift-proof number: maxit-differenced ms/iter + the fixed
-        # dispatch/RTT overhead (VERDICT r4 weak #3)
-        per_iter, fixed = _calibrated_per_iter(make_solver, a, b, cfg, 10, 30)
+        # dispatch/RTT overhead (VERDICT r4 weak #3).  The spread must beat
+        # the noise floor: at n=10000 an iteration is ~0.1-0.2 ms against a
+        # ~60 ms fixed tunnel cost, so difference over ~290 iterations
+        # (run 1 of r5 measured -0.04 ms/iter over a 20-iteration spread)
+        per_iter, fixed = _calibrated_per_iter(make_solver, a, b, cfg,
+                                               10, 300)
         if per_iter is not None:
             info.update(mat10000_ms_per_iter=round(per_iter * 1e3, 3),
                         mat10000_fixed_ms=round(fixed * 1e3, 2))
