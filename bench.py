@@ -119,15 +119,18 @@ def _calibrated_per_iter(make, a, b, cfg, m1, m2):
     difference the median dtAlg — the result is net of the fixed
     dispatch/RTT cost, which is returned alongside.  The dtAlg protocol is
     the reference's (pbicgstab.h:108-109); the differencing is this repo's
-    tunnel-calibration methodology (BASELINE.md), now in the artifact."""
+    tunnel-calibration methodology (BASELINE.md), now in the artifact.
+    Returns ``(per_iter, fixed, (iters1, iters2))`` — the actual iteration
+    counts expose a breakdown-shortened spread (a NaN stops even a tol=0
+    run; r5 run 2's dense arm went negative exactly that way)."""
     forced = cfg.replace(tol=0.0, breakdown_tol=0.0, true_residual=False)
-    r1 = _median_solve(make(a, forced.replace(maxit=m1)), b)
-    r2 = _median_solve(make(a, forced.replace(maxit=m2)), b)
+    r1 = _median_solve(make(a, forced.replace(maxit=m1)), b, reps=5)
+    r2 = _median_solve(make(a, forced.replace(maxit=m2)), b, reps=5)
     if r2.iters == r1.iters:
-        return None, None
+        return None, None, (r1.iters, r2.iters)
     per_iter = (r2.dt_alg - r1.dt_alg) / (r2.iters - r1.iters)
     fixed = r1.dt_alg - r1.iters * per_iter
-    return per_iter, fixed
+    return per_iter, fixed, (r1.iters, r2.iters)
 
 
 def main():
@@ -213,8 +216,9 @@ def main():
         # the noise floor: at n=10000 an iteration is ~0.1-0.2 ms against a
         # ~60 ms fixed tunnel cost, so difference over ~290 iterations
         # (run 1 of r5 measured -0.04 ms/iter over a 20-iteration spread)
-        per_iter, fixed = _calibrated_per_iter(make_solver, a, b, cfg,
-                                               10, 300)
+        per_iter, fixed, its = _calibrated_per_iter(make_solver, a, b, cfg,
+                                                    10, 300)
+        info["mat10000_calib_iters"] = list(its)
         if per_iter is not None:
             info.update(mat10000_ms_per_iter=round(per_iter * 1e3, 3),
                         mat10000_fixed_ms=round(fixed * 1e3, 2))
@@ -250,8 +254,9 @@ def main():
         for fmt in ("bell", "dense"):
             try:
                 mk = lambda a_, c_: make_solver(a_, c_, format=fmt)  # noqa: E731
-                per_iter, fixed = _calibrated_per_iter(mk, ar, br, cfg_r,
-                                                       6, 18)
+                per_iter, fixed, its = _calibrated_per_iter(mk, ar, br,
+                                                            cfg_r, 4, 24)
+                info[f"{fmt}_calib_iters"] = list(its)
                 if per_iter is not None:
                     info[f"{fmt}_ms_per_iter"] = round(per_iter * 1e3, 3)
                     info[f"{fmt}_fixed_ms"] = round(fixed * 1e3, 2)
