@@ -63,7 +63,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="relaxed modified-ILU(0) factor values for the"
                         " ilu0 / ilu0_neumann / bjacobi_ilu0 preconditioners:"
                         " omega x dropped fill subtracted from the diagonal"
-                        " (0 = reference-parity ILU(0); ~0.97 cuts"
+                        " (0 = reference-parity ILU(0); ~0.96-0.97 cuts"
                         " iterations ~30%% on the Laplacian family)")
     p.add_argument("--fuse-blas1", action="store_true",
                    help="fold the p-update/r1 axpys into the fused msolve"

@@ -58,10 +58,11 @@ class SolverConfig:
     # bjacobi_ilu0 preconditioners: omega times each row's dropped fill is
     # subtracted from its diagonal (omega=1 preserves A's row sums —
     # classic MILU).  0 (default) = reference-parity ILU(0).
-    # On the Laplacian family omega~0.97 cuts BiCGSTAB iterations ~30% at
-    # 100k rows and more at scale (O(h^-1) vs O(h^-2) conditioning); the
-    # truncated Neumann series needs omega < 1 to keep the factor
-    # diagonally dominant (BASELINE.md r4 sweep).  Beyond-reference option.
+    # On the Laplacian family omega~0.96-0.97 cuts BiCGSTAB iterations
+    # ~30% (O(h^-1) vs O(h^-2) conditioning); the optimum drifts down with
+    # scale (0.97 at 100k rows, 0.96 at 10M — BASELINE.md r4/r5 sweeps) and
+    # the truncated Neumann series needs omega < 1 to keep the factor
+    # diagonally dominant.  Beyond-reference option.
     milu_omega: float = 0.0
     # recompute ||b - A x|| in float64 on the host after the solve (one host
     # SpMV, outside dtAlg) and report it as SolveResult.residual_true; the
