@@ -26,7 +26,6 @@ for k in (4, 6):
         cfg = base.replace(neumann_terms=k, milu_omega=om)
         ps = make_solver(a, cfg)
         ps.solve(b)                      # compile (cached per k) + warm
-        rs = sorted(ps.solve(b).dt_alg for _ in range(3))
         r = ps.solve(b)
         ms = sorted([r.dt_alg] + [ps.solve(b).dt_alg for _ in range(2)])
         med = ms[1] * 1e3
