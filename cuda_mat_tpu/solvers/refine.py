@@ -83,12 +83,24 @@ def solve_refined(a, b: np.ndarray, config: SolverConfig = DEFAULT_CONFIG,
     dt_alg = 0.0
     status = SolverStatus.MAXIT
     rel = np.inf
+    prev_nrm = np.inf
+    x_prev = x
     for k in range(max_restarts):
         r = b64 - host_matvec_f64(a, x)             # float64 true residual
         nrm = float(np.linalg.norm(r))
         if norm_b0 is None:
             norm_b0 = nrm if nrm > 0 else 1.0       # ||r0|| as in the reference
         outer_hist.append(nrm)
+        if nrm > prev_nrm:
+            # the last correction made the f64 residual WORSE: the inner f32
+            # solve diverged (refinement contracts whenever the inner solver
+            # reduces the residual by any factor).  Revert it and stop
+            # instead of burning the remaining restarts on garbage
+            # corrections — the reverted x and its residual are returned
+            # with an honest non-converged status.
+            x = x_prev
+            rel = prev_nrm / norm_b0
+            break
         rel = nrm / norm_b0
         if rel < config.tol:
             status = SolverStatus.CONVERGED
@@ -100,6 +112,8 @@ def solve_refined(a, b: np.ndarray, config: SolverConfig = DEFAULT_CONFIG,
                 not np.isfinite(inner.x).all():
             status = SolverStatus.BREAKDOWN
             break
+        prev_nrm = nrm
+        x_prev = x
         x = x + inner.x.astype(np.float64)
     return SolveResult(
         x=x, status=status, iters=total_inner, residual=float(rel * norm_b0),

@@ -147,3 +147,34 @@ def test_cli_bicg_devices_errors_loudly(capsys):
                "--devices", "2"])
     assert rc == 1
     assert "bicg" in capsys.readouterr().err
+
+
+def test_refined_stops_on_diverging_correction(mat900):
+    """A diverging inner solver (garbage corrections) must not burn all
+    max_restarts: solve_refined reverts the worsening correction and stops
+    with an honest non-converged status (r5 divergence guard)."""
+    from cuda_mat_tpu.solvers.result import SolveResult, SolverStatus
+
+    calls = {"n": 0}
+
+    class GarbageSolver:
+        def solve(self, r, x0=None):
+            calls["n"] += 1
+            rng = np.random.default_rng(calls["n"])
+            # finite but wrong and growing: each "correction" increases
+            # the true residual
+            return SolveResult(
+                x=rng.standard_normal(mat900.n) * 10.0**calls["n"],
+                status=SolverStatus.MAXIT, iters=5, residual=1.0,
+                residual0=1.0, dt_alg=0.0)
+
+    b = np.ones(mat900.n)
+    res = solve_refined(mat900, b, CFG_ILU.replace(tol=1e-12),
+                        max_restarts=20, solver=GarbageSolver())
+    assert not res.converged
+    assert calls["n"] <= 2                 # stopped after the first increase
+    assert np.isfinite(res.x).all()
+    # the returned x is the PRE-divergence iterate, and the reported
+    # residual matches it
+    rel = np.linalg.norm(b - mat900.matvec(res.x)) / res.residual0
+    np.testing.assert_allclose(res.residual / res.residual0, rel, rtol=1e-12)
