@@ -251,8 +251,18 @@ def main():
         br = np.ones(ar.n)
         cfg_r = SolverConfig(maxit=2000, tol=1e-4, dtype="float32",
                              precond="none")
+        from cuda_mat_tpu.ops.operators import make_operator
+
         for fmt in ("bell", "dense"):
             try:
+                # kernel-level chain timing (stable; same methodology as the
+                # spmv/stencil arms — the solve-differenced key below swings
+                # with the tunnel because breakdown at ~iter 27 caps the
+                # differencing spread)
+                opf = make_operator(ar, dtype=jnp.float32, format=fmt)
+                xr = jnp.ones((ar.n,), jnp.float32)
+                t_mv = _chain_time(lambda y: opf.matvec(y) * 1e-3, xr, k=100)
+                info[f"{fmt}_matvec_us"] = round(t_mv * 1e6, 1)
                 mk = lambda a_, c_: make_solver(a_, c_, format=fmt)  # noqa: E731
                 per_iter, fixed, its = _calibrated_per_iter(mk, ar, br,
                                                             cfg_r, 4, 24)
@@ -421,6 +431,7 @@ def main():
               "mat10000_fixed_ms", "mat10000_refined_rel_residual",
               "mat10000_refined_ms", "mat900_dt_alg_ms",
               "bell_ms_per_iter", "dense_ms_per_iter",
+              "bell_matvec_us", "dense_matvec_us",
               "dist_stencil_1m_ms", "dist_stencil_10m_milu_ms",
               "dist_10m_refined_rel_residual", "dist_10m_refined_ms"):
         if k in info:
