@@ -68,7 +68,7 @@ def _acquire_lock() -> bool:
     return True
 
 
-def _chain_time(step_fn, x0, k=200, reps=5):
+def _chain_time(step_fn, x0, k=200, reps=5, args=()):
     """Median per-step time of a k-step *dependency chain* of ``step_fn``
     inside one jit, completion forced by fetching a scalar.
 
@@ -82,15 +82,19 @@ def _chain_time(step_fn, x0, k=200, reps=5):
     import jax.numpy as jnp
 
     @jax.jit
-    def run(x):
-        y = jax.lax.fori_loop(0, k, lambda i, y: step_fn(y), x)
+    def run(x, *a):
+        # extra operands ride as jit ARGUMENTS (pytrees), not closure
+        # captures — captured device arrays are baked into the program as
+        # constants and blow the remote-compile request past its length
+        # limit at ~400 MB (HTTP 413; hit by the dense/BELL operators)
+        y = jax.lax.fori_loop(0, k, lambda i, y: step_fn(y, *a), x)
         return jnp.sum(y[:8])
 
-    float(run(x0))  # compile + warm
+    float(run(x0, *args))  # compile + warm
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        float(run(x0))
+        float(run(x0, *args))
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts)) / k
 
@@ -148,7 +152,7 @@ def main():
     # ---- measured HBM roofline: big copy (read + write) -------------------
     copy_elems = 64 * 1024 * 1024  # 256 MB f32
     src = jnp.ones((copy_elems,), jnp.float32)
-    t_copy = _chain_time(lambda y: y * 1.0000001 + 1.0, src, k=200)
+    t_copy = _chain_time(lambda y, *a: y * 1.0000001 + 1.0, src, k=200)
     roofline_gbps = 2 * copy_elems * 4 / t_copy / 1e9
     info["roofline_gbps"] = round(roofline_gbps, 1)
 
@@ -170,7 +174,8 @@ def main():
         x = jnp.ones((n,), jnp.float32)
     # *0.1 keeps the chained iterates bounded (spectral radius < 1); the
     # scale fuses into the spmv epilogue for free
-    t_spmv = _chain_time(lambda y: op.matvec(y) * 0.1, x, k=200)
+    t_spmv = _chain_time(lambda y, o: o.matvec(y) * 0.1, x, k=200,
+                         args=(op,))
     bytes_moved = (dia.ndiag * n + 2 * n) * 4
     spmv_gbps = bytes_moved / t_spmv / 1e9
     nnz_per_s = dia.nnz / t_spmv
@@ -186,7 +191,8 @@ def main():
 
             sop = ConstStencilOperator.from_dia(dia)
             xs = sop.pad_vec(jnp.ones((n,), jnp.float32))
-            t_sten = _chain_time(lambda y: sop.matvec(y) * 0.1, xs, k=200)
+            t_sten = _chain_time(lambda y, o: o.matvec(y) * 0.1, xs,
+                                 k=200, args=(sop,))
             stencil_nnz_per_s = sop.nnz / t_sten
             info.update(t_stencil_us=round(t_sten * 1e6, 1),
                         stencil_nnz_per_s=f"{stencil_nnz_per_s:.3e}",
@@ -261,7 +267,8 @@ def main():
                 # differencing spread)
                 opf = make_operator(ar, dtype=jnp.float32, format=fmt)
                 xr = jnp.ones((ar.n,), jnp.float32)
-                t_mv = _chain_time(lambda y: opf.matvec(y) * 1e-3, xr, k=100)
+                t_mv = _chain_time(lambda y, o: o.matvec(y) * 1e-3, xr,
+                                   k=100, args=(opf,))
                 info[f"{fmt}_matvec_us"] = round(t_mv * 1e6, 1)
                 mk = lambda a_, c_: make_solver(a_, c_, format=fmt)  # noqa: E731
                 per_iter, fixed, its = _calibrated_per_iter(mk, ar, br,
