@@ -318,6 +318,16 @@ def main():
             info.update(solve_1m_ms=round(r1m.dt_alg * 1e3, 1),
                         solve_1m_iters=r1m.iters,
                         solve_1m_status=r1m.status.name)
+            # drift-proof per-iteration number for the 1M arm (dtAlg there
+            # rides a ~60 ms fixed tunnel term that drifts 63-75 ms across
+            # clean runs; ~90 forced iterations put ~40 ms of signal above
+            # the floor)
+            per1, fix1, its1 = _calibrated_per_iter(make_solver, a1, b1,
+                                                    cfg1, 10, 100)
+            info["solve_1m_calib_iters"] = list(its1)
+            if per1 is not None:
+                info.update(solve_1m_ms_per_iter=round(per1 * 1e3, 3),
+                            solve_1m_fixed_ms=round(fix1 * 1e3, 2))
             rref = _median_refined(a1, b1, cfg1.replace(tol=1e-6), 1e-4, ps1)
             info.update(refined_rel_residual=float(rref.residual
                                                    / rref.residual0),
@@ -429,7 +439,8 @@ def main():
     }
     # solve-level metrics ride in the same line so the driver records them
     for k in ("lock_clean", "stencil_nnz_per_s", "stencil_vs_dia",
-              "solve_1m_ms", "solve_10m_ms", "solve_10m_milu_ms",
+              "solve_1m_ms", "solve_1m_ms_per_iter",
+              "solve_10m_ms", "solve_10m_milu_ms",
               "solve_10m_milu_refined_rel_residual",
               "solve_10m_milu_refined_ms",
               "solve_10m_refined_rel_residual",
