@@ -178,3 +178,23 @@ def test_refined_stops_on_diverging_correction(mat900):
     # residual matches it
     rel = np.linalg.norm(b - mat900.matvec(res.x)) / res.residual0
     np.testing.assert_allclose(res.residual / res.residual0, rel, rtol=1e-12)
+
+
+def test_refined_distributed_stencil_milu():
+    """The bench's distributed production path as one CI combination:
+    gap-strided stencil engine + MILU(0.96) factors + iterative refinement
+    over the virtual mesh (interpret-mode kernels)."""
+    from cuda_mat_tpu.models.problems import grid_laplacian
+    from cuda_mat_tpu.parallel.mesh import make_mesh
+
+    a = grid_laplacian(8, 126)          # 1008 rows, constant 5-pt stencil
+    b = np.ones(a.n)
+    cfg = SolverConfig(maxit=2000, tol=1e-10, dtype="float32",
+                       precond="ilu0_neumann", neumann_terms=3,
+                       milu_omega=0.96)
+    res = solve_refined(a, b, cfg, inner_tol=1e-3, mesh=make_mesh(4),
+                        local_engine="stencil")
+    assert res.converged
+    assert res.residual_true / res.residual0 < 1e-10
+    x64 = np.linalg.solve(a.to_dense(), b)
+    np.testing.assert_allclose(res.x, x64, rtol=1e-8, atol=1e-8)
